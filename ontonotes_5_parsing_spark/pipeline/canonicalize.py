@@ -1,0 +1,101 @@
+"""Canonical entity selection + graph materialization (nodes/edges).
+
+The distributed form of the reference's reduce_entities lifecycle
+(/root/reference/reduce_entities.py:64-116 — global frequency agg →
+top seeds → canonical per cluster → rewrite): count mentions globally
+(salted two-phase, done in linking.surface_vocab), pick one canonical
+surface per linked component with a *total deterministic ordering*
+(SURVEY.md §7 hard part 2 — never `first()` without order), then map
+every triple endpoint to its canonical entity id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_entities(linked: DataFrame) -> DataFrame:
+    """linked(surface, ent_type, n_mentions, norm, vertex_id, component)
+    → one row per component with its canonical surface and entity_id.
+
+    Canonical = the member with the most mentions; ties broken by the
+    reference's rule — min (length, value) (reduce_entities.py:111-113)
+    — giving a deterministic `min_by` over a composite struct.
+    """
+    per_component = linked.groupBy("component").agg(
+        F.min_by(
+            F.struct("surface", "ent_type"),
+            F.struct(
+                (-F.col("n_mentions")).alias("neg_freq"),
+                F.length("surface").alias("len"),
+                F.col("surface"),
+            ),
+        ).alias("canon"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+    )
+    return per_component.select(
+        "component",
+        F.col("canon.surface").alias("canonical"),
+        F.col("canon.ent_type").alias("ent_type"),
+        "n_mentions",
+        "n_surfaces",
+        F.xxhash64(F.col("canon.surface"), F.col("canon.ent_type")).alias("entity_id"),
+    )
+
+
+def surface_to_entity(linked: DataFrame, canon: DataFrame) -> DataFrame:
+    """(surface, ent_type) → entity_id mapping. Small relative to the
+    corpus (vocabulary-sized), so downstream joins broadcast it."""
+    return (
+        linked.select("surface", "ent_type", "component")
+        .join(canon.select("component", "entity_id"), "component")
+        .select("surface", "ent_type", "entity_id")
+    )
+
+
+def build_nodes_edges(
+    triples: DataFrame, linked: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the graph: nodes(entity_id, canonical, ent_type,
+    n_mentions, n_surfaces) and edges(src_entity_id, pred,
+    dst_entity_id, n_evidence).
+
+    The surface→entity map is broadcast (vocabulary ≪ corpus); the edge
+    count is a salted two-phase groupBy because head entities make
+    (src, pred, dst) keys skewed for the same reason mention counts are.
+    """
+    canon = canonical_entities(linked)
+    mapping = surface_to_entity(linked, canon)
+
+    nodes = canon.select(
+        "entity_id", "canonical", "ent_type", "n_mentions", "n_surfaces"
+    )
+
+    src_map = mapping.withColumnRenamed("entity_id", "src_entity_id")
+    dst_map = mapping.withColumnRenamed("entity_id", "dst_entity_id")
+    resolved = (
+        triples.join(
+            F.broadcast(src_map),
+            (triples.subj == src_map.surface) & (triples.subj_type == src_map.ent_type),
+            "inner",
+        )
+        .drop("surface", "ent_type")
+        .join(
+            F.broadcast(dst_map),
+            (triples.obj == dst_map.surface) & (triples.obj_type == dst_map.ent_type),
+            "inner",
+        )
+        .drop("surface", "ent_type")
+    )
+    salted = resolved.withColumn(
+        "salt", F.pmod(F.xxhash64("url", "sent_idx"), F.lit(32))
+    )
+    edges = (
+        salted.groupBy("src_entity_id", "pred", "dst_entity_id", "salt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("src_entity_id", "pred", "dst_entity_id")
+        .agg(F.sum("cnt").alias("n_evidence"))
+    )
+    return nodes, edges

@@ -1,0 +1,216 @@
+"""Blocked entity linking: MinHash/LSH candidate generation + native
+pair scoring + bounded label-propagation connected components.
+
+Generalizes the reference's similarity-based label clustering
+(`find_similary_item` + nearest-seed assignment,
+/root/reference/reduce_entities.py:12-20,99-106 — a rare×topN cross
+join) to web scale: instead of an O(n·k) cross join over all surface
+pairs, candidate pairs are generated only inside LSH buckets of
+character-shingle MinHash signatures, so the join is an equi-join on
+(ent_type, band, band_hash) that Catalyst shuffles by bucket key.
+
+Everything here is native DataFrame ops — `xxhash64` for hashing,
+higher-order array functions for shingling/minhashing, `levenshtein`
+for scoring. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 12
+BAND_SIZE = 2  # 6 bands × 2 rows — tuned for high recall on short strings
+SHINGLE = 3
+
+
+def surface_vocab(mentions: DataFrame) -> DataFrame:
+    """Distinct (surface, ent_type) with mention counts.
+
+    The count uses explicit two-phase salted aggregation: head entities
+    ("Obama"-class keys, ~20% of all mentions) would otherwise hot-spot
+    a single reducer. Phase 1 groups by (surface, ent_type, salt) —
+    spreading each hot key over 32 reducers — phase 2 sums the partial
+    counts. (BASELINE.json:6; AQE skew-join does not cover groupBy skew.)
+    """
+    salted = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("url", "sent_idx"), F.lit(32))
+    )
+    partial = salted.groupBy("surface", "ent_type", "salt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        partial.groupBy("surface", "ent_type")
+        .agg(F.sum("cnt").alias("n_mentions"))
+        .withColumn("norm", F.lower(F.trim(F.col("surface"))))
+        .withColumn("vertex_id", F.xxhash64("norm", "ent_type"))
+    )
+
+
+def add_minhash_bands(vocab: DataFrame) -> DataFrame:
+    """MinHash signature over shingles, folded into LSH band hashes.
+
+    minhash_k = min over shingles of xxhash64(shingle, k); band hash =
+    xxhash64 of the band's minhashes. Pure built-ins → JVM-side.
+    """
+    padded = "concat(char(1), norm, char(2))"
+    df = vocab.withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length({padded}) - {SHINGLE - 1}, 1)),"
+            f" i -> substring({padded}, i, {SHINGLE})))"
+        ),
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, k=k: F.xxhash64(s, F.lit(k)))
+        ).alias(f"mh{k}")
+        for k in range(N_HASHES)
+    ]
+    df = df.select("*", *minhashes)
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    minhash_bands = F.array(*bands)
+    # second blocking pass: one key per token of the normalized surface
+    # (inverted-index blocking). MinHash alone has poor recall on short
+    # alias pairs ("obama" vs "barack obama" share few shingles); token
+    # blocking catches exactly the containment aliases the scorer accepts.
+    token_bands = F.expr(
+        "transform(split(norm, '\\\\s+'), t -> struct(-1 as band, xxhash64(t) as bh))"
+    )
+    return df.withColumn("bands", F.concat(minhash_bands, token_bands)).drop(
+        "shingles", *[f"mh{k}" for k in range(N_HASHES)]
+    )
+
+
+MAX_BUCKET = 256  # hot-bucket guard: a blocking key shared by more
+# surfaces than this (stopword-ish tokens at web scale) is dropped —
+# its O(k²) pair fan-out would dominate the join; real aliases always
+# share a *rarer* key too.
+
+
+def candidate_pairs(vocab_with_bands: DataFrame) -> DataFrame:
+    """Self-join inside LSH buckets → distinct candidate pairs (a < b).
+
+    The join key (ent_type, band, bh) is the blocking key: at 10^12
+    documents the vocabulary still joins bucket-locally instead of
+    all-pairs. Bucket-size skew is bounded explicitly: buckets larger
+    than MAX_BUCKET are dropped before the self-join (the quadratic
+    blow-up guard), and AQE skew-join splits what remains.
+    """
+    exploded = vocab_with_bands.select(
+        "vertex_id",
+        "norm",
+        "ent_type",
+        F.explode("bands").alias("b"),
+    ).select("vertex_id", "norm", "ent_type", "b.band", "b.bh")
+    bucket_sizes = exploded.groupBy("ent_type", "band", "bh").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    exploded = (
+        exploded.join(bucket_sizes, ["ent_type", "band", "bh"])
+        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.ent_type") == F.col("r.ent_type"),
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l.vertex_id") < F.col("r.vertex_id"),
+            ],
+        )
+        .select(
+            F.col("l.vertex_id").alias("src"),
+            F.col("r.vertex_id").alias("dst"),
+            F.col("l.norm").alias("norm_a"),
+            F.col("r.norm").alias("norm_b"),
+        )
+        .distinct()
+    )
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Keep alias-like pairs. Two native accept rules:
+
+    1. token containment — one surface's token set is a subset of the
+       other's ("obama" ⊆ "barack obama"), the web-scale analog of the
+       reference's prefix-credit rule (utils.py:1088-1096);
+    2. near-duplicate — normalized Levenshtein ≤ 0.2 (typos/variants),
+       the analog of its Levenshtein remainder rule (utils.py:1097-1103).
+    """
+    toks_a = F.split(F.col("norm_a"), r"\s+")
+    toks_b = F.split(F.col("norm_b"), r"\s+")
+    containment = (
+        F.size(F.array_intersect(toks_a, toks_b))
+        == F.least(F.size(toks_a), F.size(toks_b))
+    )
+    lev_ok = (
+        F.levenshtein("norm_a", "norm_b")
+        / F.greatest(F.length("norm_a"), F.length("norm_b"))
+    ) <= 0.2
+    return pairs.filter(containment | lev_ok).select("src", "dst")
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 12
+) -> DataFrame:
+    """Bounded label propagation: component = min vertex_id reachable.
+
+    Converges in O(diameter) rounds; alias clusters have tiny diameter
+    (≤ 3), so `max_iter=12` is a hard safety bound, and the loop exits
+    early on a converged round. Each round localCheckpoints to cut
+    lineage (SURVEY.md §7 hard part 5). Returns (vertex_id, component).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select(
+        "vertex_id", F.col("vertex_id").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.vertex_id, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex_id == neighbor_min.src, "left")
+            .select(
+                "vertex_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def link_entities(mentions: DataFrame) -> DataFrame:
+    """mentions → (surface, ent_type, n_mentions, vertex_id, component)."""
+    vocab = surface_vocab(mentions)
+    banded = add_minhash_bands(vocab)
+    pairs = score_pairs(candidate_pairs(banded))
+    components = connected_components(
+        vocab.select("vertex_id").distinct(), pairs
+    )
+    return vocab.join(components, "vertex_id", "left").withColumn(
+        "component", F.coalesce("component", "vertex_id")
+    )

@@ -1,0 +1,97 @@
+"""Entity linking + canonicalization + graph materialization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontonotes_5_parsing_spark import corpus
+from ontonotes_5_parsing_spark.kgref.lexicon import ALIAS_GROUPS, GAZETTEER
+from ontonotes_5_parsing_spark.pipeline import run_pipeline
+from ontonotes_5_parsing_spark.pipeline.linking import (
+    add_minhash_bands,
+    candidate_pairs,
+    connected_components,
+    link_entities,
+    score_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    pages = corpus.web_pages_df(spark, 250)
+    result = run_pipeline(pages)
+    result["mentions"] = result["mentions"].cache()
+    result["linked"] = result["linked"].cache()
+    return result
+
+
+def test_alias_groups_share_component(out):
+    linked = {
+        r.surface: r.component
+        for r in out["linked"].select("surface", "component").collect()
+    }
+    for group in ALIAS_GROUPS:
+        present = [s for s in group if s in linked]
+        if len(present) >= 2:
+            components = {linked[s] for s in present}
+            assert len(components) == 1, (group, components)
+
+
+def test_different_entities_not_merged(out):
+    linked = {
+        r.surface: r.component
+        for r in out["linked"].select("surface", "component").collect()
+    }
+    for a, b in [("France", "Germany"), ("Paris", "Berlin"), ("Globex", "Initech")]:
+        if a in linked and b in linked:
+            assert linked[a] != linked[b], (a, b)
+
+
+def test_canonical_is_most_frequent_then_shortest(out):
+    nodes = out["nodes"].collect()
+    canon_by_type = {(r.canonical, r.ent_type) for r in nodes}
+    # every canonical surface is a known gazetteer/rule surface
+    for canonical, ent_type in canon_by_type:
+        if canonical in GAZETTEER:
+            assert GAZETTEER[canonical] == ent_type
+
+
+def test_edges_reference_existing_nodes(out):
+    node_ids = {r.entity_id for r in out["nodes"].collect()}
+    edges = out["edges"].collect()
+    assert len(edges) > 0
+    for e in edges:
+        assert e.src_entity_id in node_ids
+        assert e.dst_entity_id in node_ids
+        assert e.n_evidence >= 1
+
+
+def test_node_mention_mass_conserved(out):
+    total_mentions = out["mentions"].count()
+    node_sum = out["nodes"].agg(F.sum("n_mentions")).collect()[0][0]
+    assert node_sum == total_mentions
+
+
+def test_connected_components_chain(spark):
+    # A-B, B-C, D alone → components {A,B,C} and {D}
+    vertices = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["vertex_id"])
+    edges = spark.createDataFrame([(2, 1), (3, 2)], ["src", "dst"])
+    labels = {
+        r.vertex_id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4
+
+
+def test_lsh_candidates_recall_known_aliases(spark, out):
+    vocab = out["linked"]
+    pairs = score_pairs(candidate_pairs(add_minhash_bands(vocab)))
+    norms = {
+        r.vertex_id: r.norm for r in vocab.select("vertex_id", "norm").collect()
+    }
+    accepted = {
+        frozenset((norms[r.src], norms[r.dst])) for r in pairs.collect()
+    }
+    # obama aliases must be candidate-joined by at least one LSH band
+    if any("barack obama" in fs for fs in accepted):
+        assert frozenset(("barack obama", "obama")) in accepted

@@ -1,0 +1,97 @@
+"""Distributed ↔ single-process conformance (the correctness gate).
+
+1. byte-identical extracted text per url (BASELINE.json:15-16);
+2. mention-set equality Spark vs kgref;
+3. (subj, pred, obj) triple-set P/R ≥ 0.95 vs kgref (BASELINE.json:2) —
+   in fact asserted exact, since the Spark stages import the same
+   kernels / implement the same window semantics.
+"""
+
+import pytest
+
+from ontonotes_5_parsing_spark import corpus
+from ontonotes_5_parsing_spark.kgref import annotate_sentence, extract_text, split_sentences
+from ontonotes_5_parsing_spark.kgref.ner import bio_to_spans
+from ontonotes_5_parsing_spark.kgref.triples import extract_triples
+from ontonotes_5_parsing_spark.pipeline import (
+    extract_stage,
+    mentions_stage,
+    parse_stage,
+    triples_stage,
+)
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return corpus.web_pages_df(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def stages(spark, pages):
+    extracted = extract_stage(pages).cache()
+    sentences = parse_stage(extracted).cache()
+    mentions = mentions_stage(sentences)
+    triples = triples_stage(sentences, mentions)
+    return extracted, sentences, mentions, triples
+
+
+def test_extract_byte_identity(stages):
+    extracted, *_ = stages
+    rows = extracted.select("url", "text").collect()
+    assert len(rows) == N_PAGES
+    for r in rows:
+        doc_id = int(r["url"].rsplit("doc", 1)[1])
+        page = corpus.generate_page(doc_id)
+        assert r["text"] == extract_text(page["html"])
+        assert r["text"] == page["text"]
+
+
+def test_mentions_match_oracle(stages):
+    _, sentences, mentions, _ = stages
+    spark_mentions = {
+        (r.url, r.sent_idx, r.start, r.end, r.surface, r.ent_type)
+        for r in mentions.collect()
+    }
+    oracle_mentions = set()
+    for r in sentences.select("url", "sent_idx", "text").collect():
+        ann = annotate_sentence(r.text)
+        for start, end, etype in bio_to_spans(ann["bio"], ann["bounds"]):
+            oracle_mentions.add(
+                (r.url, r.sent_idx, start, end, r.text[start:end], etype)
+            )
+    assert spark_mentions == oracle_mentions
+    assert len(spark_mentions) > 0
+
+
+def test_triples_pr_vs_oracle(stages):
+    _, sentences, _, triples = stages
+    spark_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj) for r in triples.collect()
+    }
+    oracle_triples = set()
+    for r in sentences.select("url", "sent_idx", "text").collect():
+        for t in extract_triples(r.text):
+            oracle_triples.add((r.url, r.sent_idx, t["subj"], t["pred"], t["obj"]))
+    assert len(oracle_triples) > 0
+    tp = len(spark_triples & oracle_triples)
+    precision = tp / max(len(spark_triples), 1)
+    recall = tp / max(len(oracle_triples), 1)
+    assert precision >= 0.95, (precision, spark_triples - oracle_triples)
+    assert recall >= 0.95, (recall, oracle_triples - spark_triples)
+    # same-kernel construction ⇒ exact agreement expected
+    assert spark_triples == oracle_triples
+
+
+def test_sentence_parity(stages):
+    extracted, sentences, *_ = stages
+    per_url = {r.url: r.text for r in extracted.collect()}
+    spark_sents = {
+        (r.url, r.sent_idx, r.text) for r in sentences.select("url", "sent_idx", "text").collect()
+    }
+    oracle_sents = set()
+    for url, text in per_url.items():
+        for i, s in enumerate(split_sentences(text)):
+            oracle_sents.add((url, i, s))
+    assert spark_sents == oracle_sents

@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full KG-construction DAG (extract → parse →
+                 mentions → triples → link → canonicalize) over pages
+                 derived deterministically from sf0.001/documents.parquet,
+                 returning the named top edges of the graph.
+queries()      — one entry per implemented operator (SURVEY.md §2 plus
+                 the training-data-pipeline families: dedup, similarity,
+                 text analysis, events).
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
+                 kg_* / minhash / simhash / LSH entries are rows-only by
+                 design (iterative or hash-function-specific semantics).
 """
 
 from __future__ import annotations
@@ -13,26 +18,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ontonotes_5_parsing_spark.operators.registry import ALL_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ontonotes_5_parsing_spark.operators.kg import q_kg_edges_top
+
+    return q_kg_edges_top(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (omitted for non-SQL-expressible ops)."""
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None}

@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+The headline set = the full KG-construction DAG (the product) plus one
+representative query per operator family. Each query is forced with a
+count()/collect() so the measured time includes the full plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "win_customer_running_spend",
+    "txt_token_stats",
+    "txt_vocab_reduce",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_buckets",
+    "ann_cosine_topk",
+    "evt_sessionize",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from ontonotes_5_parsing_spark.session import get_spark
+    from ontonotes_5_parsing_spark.operators.registry import ALL_QUERIES
+    from ontonotes_5_parsing_spark.corpus import web_pages_from_documents
+    from ontonotes_5_parsing_spark.pipeline import run_pipeline
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # --- the KG-construction DAG end-to-end (the headline metric) ---
+    t0 = time.time()
+    pages = web_pages_from_documents(spark, sf_dir)
+    out = run_pipeline(pages)
+    n_triples = out["triples"].count()
+    kg_extract_sec = time.time() - t0
+    t0 = time.time()
+    n_edges = out["edges"].count()
+    kg_link_sec = time.time() - t0
+    timings["kg_pipeline_triples"] = round(kg_extract_sec, 3)
+    timings["kg_pipeline_link_canonicalize"] = round(kg_link_sec, 3)
+
+    # --- one representative query per operator family ---
+    for name in HEADLINE:
+        fn, _sql = ALL_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    kg_sec = kg_extract_sec + kg_link_sec
+    result = {
+        "metric": "kg_construct_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_triples": n_triples,
+        "n_edges": n_edges,
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Deduplication operator family over `documents`: exact, n-gram
+Jaccard, MinHash-LSH, SimHash.
+
+Exact and Jaccard variants have DuckDB oracles (same formulas, same
+float arithmetic). MinHash/SimHash use Spark's xxhash64 — no DuckDB
+equivalent exists, so those are rows-only checks (noted in
+`__spark_entry__.oracle_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup: hash-groupBy, keeper = min(doc_id) ----------------------
+def q_exact_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint,
+       count(*)  AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- n-gram (token-set) Jaccard near-dup pairs ----------------------------
+# blocked by `source` (the natural blocking key), pairs a<b; jaccard
+# computed as |∩| / (|A|+|B|-|∩|) in BOTH engines so float arithmetic
+# is identical.
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    la = F.size(F.col("a.toks"))
+    lb = F.size(F.col("b.toks"))
+    jac = inter / (la + lb - inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH t AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             4) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+            4) >= 0.5
+"""
+
+
+# --- MinHash-LSH bucket dedup (shingle→minhash→band→bucket) ---------------
+# the scale path: candidate pairs only inside buckets. xxhash64-based →
+# no SQL oracle (rows-only check).
+N_HASHES = 8
+BAND_SIZE = 2
+
+
+def q_minhash_buckets(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("toks"), lambda t, k=k: F.xxhash64(t, F.lit(k)))
+        ).alias(f"mh{k}")
+        for k in range(N_HASHES)
+    ]
+    sig = docs.select("doc_id", *minhashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                ).alias("bh"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.bh"
+    )
+    return (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- SimHash (64-bit) ------------------------------------------------------
+# per doc: for each bit i, vote = Σ_tokens sign(bit_i(xxhash64(token)));
+# simhash bit i = vote > 0. Pure built-ins; no SQL oracle.
+def q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    exploded = docs.select("doc_id", F.explode("toks").alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    # bit i's weight is a Python-side literal (two's complement for bit 63)
+    simhash = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        simhash = simhash.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "dedup_minhash_buckets": (q_minhash_buckets, None),
+    "dedup_simhash": (q_simhash, None),
+}

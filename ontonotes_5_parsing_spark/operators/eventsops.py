@@ -1,0 +1,149 @@
+"""Event-stream operators over the `events` table: tumbling windows,
+sessionization, share-of-total — the batch forms of the streaming ops
+the engine would run under Structured Streaming (`warc_ts` is the
+event-time analog; SURVEY.md §2.9).
+
+All timestamps leave the query as epoch BIGINTs so the oracle hash
+never compares engine-formatted timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800
+
+
+def _events(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --- tumbling 1-hour window aggregation -----------------------------------
+def q_hourly_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_HOURLY_COUNTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- sessionization: gap > 30 min starts a new session ---------------------
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SEC), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_session = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), with_session AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM with_session GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*)               AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events)          AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# --- top users by value (deterministic top-k) -------------------------------
+def q_top_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(20)
+    )
+
+
+SQL_TOP_USERS = """
+SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 20
+"""
+
+
+# --- share of total (unpartitioned window) ----------------------------------
+def q_type_share(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(total), 6).alias("share"),
+    )
+
+
+SQL_TYPE_SHARE = """
+WITH counts AS (
+  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT event_type, n_events,
+       round(n_events / sum(n_events) OVER (), 6) AS share
+FROM counts
+"""
+
+
+QUERIES = {
+    "evt_hourly_counts": (q_hourly_counts, SQL_HOURLY_COUNTS),
+    "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "evt_top_users": (q_top_users, SQL_TOP_USERS),
+    "evt_type_share": (q_type_share, SQL_TYPE_SHARE),
+}

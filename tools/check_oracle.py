@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__ query on Spark and its oracle on DuckDB at sf0.01,
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, columns):
+    """Sort columns by name, stringify values, sort rows → stable hash."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6f}".rstrip("0").rstrip(".")
+        return str(v)
+    lines = sorted(",".join(fmt(row[i]) for i in order) for row in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from ontonotes_5_parsing_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if not problems:
+            h1 = normalize(srows, scols)
+            h2 = normalize(drows, dcols)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                sset = set(normalize([r], scols) for r in srows)
+                dset = set(normalize([r], dcols) for r in drows)
+                diff1 = [r for r in srows if normalize([r], scols) not in dset][:3]
+                diff2 = [r for r in drows if normalize([r], dcols) not in sset][:3]
+                problems.append(f"spark-only: {diff1}")
+                problems.append(f"duck-only: {diff2}")
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

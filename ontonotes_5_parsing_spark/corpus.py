@@ -156,7 +156,15 @@ def web_pages_from_documents(spark, sf_dir: str, seed: int = 42):
     """
     from .pipeline.schemas import WEB_PAGES_SCHEMA
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # a single parquet file scans as ONE partition — repartition the ids
+    # so page materialization (and every downstream Arrow UDF stage)
+    # parallelizes across the cluster
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(parallelism, "doc_id")
+    )
 
     def gen(batches):
         for pdf in batches:

@@ -53,11 +53,16 @@ def q_jaccard_pairs(spark, sf_dir):
     la = F.size(F.col("a.toks"))
     lb = F.size(F.col("b.toks"))
     jac = inter / (la + lb - inter)
+    # length-band prune: jaccard >= 0.5 implies |A| <= 2|B| and |B| <= 2|A|
+    # (i >= (|A|+|B|)/3 and i <= min), so the band filter loses nothing and
+    # skips the array_intersect for most pairs
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.size(F.col("a.toks")) <= 2 * F.size(F.col("b.toks")))
+            & (F.size(F.col("b.toks")) <= 2 * F.size(F.col("a.toks"))),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -78,6 +83,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
              4) AS jaccard
 FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+               AND len(a.toks) <= 2 * len(b.toks)
+               AND len(b.toks) <= 2 * len(a.toks)
 WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
             4) >= 0.5

@@ -167,13 +167,79 @@ def connected_components(
     (≤ 3), so `max_iter=12` is a hard safety bound, and the loop exits
     early on a converged round. Each round localCheckpoints to cut
     lineage (SURVEY.md §7 hard part 5). Returns (vertex_id, component).
+
+    Iterative jobs pay per-stage scheduling overhead, so parallelism is
+    sized to the data: the vertex set is counted once and the loop runs
+    on ~1 partition per 100k vertices (bounded by the session's shuffle
+    partitions). At vocabulary scale (even for 10^12 documents the
+    distinct-surface vocabulary is orders of magnitude smaller than the
+    corpus) this keeps each round a handful of tasks instead of
+    shuffle.partitions-many near-empty ones.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = vertices.sparkSession
+    n_vertices = vertices.count()
+    if n_vertices == 0:
+        return vertices.select(
+            "vertex_id", F.col("vertex_id").alias("component")
+        )
+
+    # Hybrid strategy, mirroring the reference's collect boundary for its
+    # tiny global clustering step (reduce_entities.py:88-116, SURVEY.md
+    # §3.2): the *edge* set of alias pairs is vocabulary-sized — orders of
+    # magnitude smaller than the corpus even at 10^12 documents — so when
+    # it fits comfortably on the driver, a single collect + union-find +
+    # broadcast-join replaces ~40 scheduler-bound iterative stages. The
+    # distributed label-propagation loop below remains the fallback for
+    # genuinely huge vocabularies.
+    n_edges = edges.count()
+    if n_edges == 0:
+        return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
+    if n_edges <= 2_000_000:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.select("src", "dst").collect():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                # min root wins → component id = min vertex_id, matching
+                # the distributed loop's fixpoint exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(v, find(v)) for v in list(parent)]
+        if not mapping:
+            return vertices.select(
+                "vertex_id", F.col("vertex_id").alias("component")
+            )
+        map_df = spark.createDataFrame(mapping, ["vertex_id", "mapped_component"])
+        return (
+            vertices.join(F.broadcast(map_df), "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.coalesce("mapped_component", "vertex_id").alias("component"),
+            )
+        )
+
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(1, min(n_vertices // 100_000 + 1, max_parts))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(parts, "src")
+        .localCheckpoint()
     )
-    labels = vertices.select(
-        "vertex_id", F.col("vertex_id").alias("component")
-    ).localCheckpoint()
+    labels = (
+        vertices.select("vertex_id", F.col("vertex_id").alias("component"))
+        .repartition(parts, "vertex_id")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.vertex_id, "inner")
@@ -188,6 +254,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
+            .repartition(parts, "vertex_id")
             .localCheckpoint()
         )
         changed = (
@@ -204,10 +271,18 @@ def connected_components(
 
 
 def link_entities(mentions: DataFrame) -> DataFrame:
-    """mentions → (surface, ent_type, n_mentions, vertex_id, component)."""
-    vocab = surface_vocab(mentions)
+    """mentions → (surface, ent_type, n_mentions, vertex_id, component).
+
+    The vocabulary is persisted: it feeds banding, both sides of the
+    candidate self-join, the component join, and canonicalization —
+    without the persist each consumer would re-run the salted two-phase
+    aggregation over the full mentions table.
+    """
+    vocab = surface_vocab(mentions).persist()
     banded = add_minhash_bands(vocab)
-    pairs = score_pairs(candidate_pairs(banded))
+    # pairs feed both the edge count and the collect/propagation inside
+    # connected_components — persist so the LSH self-join runs once
+    pairs = score_pairs(candidate_pairs(banded)).persist()
     components = connected_components(
         vocab.select("vertex_id").distinct(), pairs
     )

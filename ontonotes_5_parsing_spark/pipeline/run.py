@@ -25,10 +25,18 @@ def run_pipeline(
 
     if work_dir is None:
         extracted = extract_stage(pages)
-        sentences = parse_stage(extracted)
-        mentions = mentions_stage(sentences)
+        # sentences and mentions fan out to multiple consumers (triples,
+        # linking, annotations): persist AND materialize eagerly —
+        # branches of one lazy action would otherwise race the cold
+        # cache and each recompute the Python parse chain
+        sentences = parse_stage(extracted).persist()
+        sentences.count()
+        mentions = mentions_stage(sentences).persist()
+        mentions.count()
         triples = triples_stage(sentences, mentions)
-        linked = link_entities(mentions)
+        # linked is vocabulary-scale and feeds canonical selection plus
+        # both endpoint-resolution joins — persist it
+        linked = link_entities(mentions).persist()
         nodes, edges = build_nodes_edges(triples, linked)
         return {
             "extracted": extracted,

@@ -85,7 +85,79 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# stage 3: mentions — BIO→span run-length scan as window functions (W1)
+# stage 3: mentions — BIO→span run-length scan, two implementations
+#
+# (a) mentions_stage (the pipeline hot path): a per-row higher-order
+#     `aggregate` fold over the sentence's token arrays — ZERO shuffle,
+#     pure JVM. At 10^12 documents this stage is embarrassingly parallel
+#     and stays fused with the parse scan.
+# (b) mentions_stage_window: the window-function formulation (running
+#     chain-id sum + groupBy), kept as the relational showcase of W1 —
+#     it shuffles by (url, sent_idx) and is the right shape when token
+#     rows already live in a long-form table.
+# --------------------------------------------------------------------------
+_MENTION_FOLD = """
+aggregate(
+  arrays_zip(bio, starts, ends),
+  named_struct(
+    'spans', cast(array() as array<struct<start:bigint,end:bigint,ent_type:string>>),
+    'cs', cast(-1 as bigint), 'ce', cast(-1 as bigint), 'ct', cast(null as string)),
+  (acc, x) -> case
+    when x.bio like 'B-%' then named_struct(
+      'spans', if(acc.cs >= 0,
+                  array_append(acc.spans,
+                    named_struct('start', acc.cs, 'end', acc.ce, 'ent_type', acc.ct)),
+                  acc.spans),
+      'cs', x.starts, 'ce', x.ends, 'ct', substring(x.bio, 3))
+    when x.bio like 'I-%' and acc.cs >= 0 and acc.ct = substring(x.bio, 3)
+      then named_struct('spans', acc.spans, 'cs', acc.cs, 'ce', x.ends, 'ct', acc.ct)
+    else named_struct(
+      'spans', if(acc.cs >= 0,
+                  array_append(acc.spans,
+                    named_struct('start', acc.cs, 'end', acc.ce, 'ent_type', acc.ct)),
+                  acc.spans),
+      'cs', cast(-1 as bigint), 'ce', cast(-1 as bigint), 'ct', cast(null as string))
+  end,
+  acc -> if(acc.cs >= 0,
+            array_append(acc.spans,
+              named_struct('start', acc.cs, 'end', acc.ce, 'ent_type', acc.ct)),
+            acc.spans)
+)
+"""
+
+
+def sentences_with_mention_spans(sentences: DataFrame) -> DataFrame:
+    """sentences + `mention_spans` array column (per-row fold, no shuffle)."""
+    return sentences.withColumn("mention_spans", F.expr(_MENTION_FOLD))
+
+
+def mentions_stage(sentences: DataFrame) -> DataFrame:
+    """Reconstruct entity mentions from BIO tags — shuffle-free.
+
+    Same semantics as the reference's sequential scan (utils.py:738-768)
+    and kgref.ner.bio_to_spans, expressed as a higher-order `aggregate`
+    fold per sentence row, then exploded.
+    """
+    spanned = sentences_with_mention_spans(sentences)
+    return spanned.select(
+        "url",
+        "sent_idx",
+        F.explode("mention_spans").alias("m"),
+        "text",
+    ).select(
+        "url",
+        "sent_idx",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.expr(
+            "substring(text, cast(m.start + 1 as int), cast(m.end - m.start as int))"
+        ).alias("surface"),
+        F.col("m.ent_type").alias("ent_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window-function formulation of W1 (relational showcase / long-form path)
 # --------------------------------------------------------------------------
 def tokens_long(sentences: DataFrame) -> DataFrame:
     """Explode the columnar token arrays into a long-form tokens table."""
@@ -107,14 +179,11 @@ def tokens_long(sentences: DataFrame) -> DataFrame:
     )
 
 
-def mentions_stage(sentences: DataFrame) -> DataFrame:
-    """Reconstruct entity mentions from BIO tags, JVM-side.
-
-    The run-length idiom: a running sum that ticks at every `B-` or `O`
-    tag assigns a chain id; grouping by chain id yields one span per
-    mention (min start, max end, type from the opening tag). Same
-    semantics as the reference's sequential scan (utils.py:738-768) and
-    kgref.ner.bio_to_spans.
+def mentions_stage_window(sentences: DataFrame) -> DataFrame:
+    """W1 as window functions: a running sum that ticks at every `B-` or
+    `O` tag assigns a chain id; grouping by chain id yields one span per
+    mention (min start, max end, type from the opening tag). Shuffles by
+    (url, sent_idx); semantically identical to `mentions_stage`.
     """
     toks = tokens_long(sentences)
     w = Window.partitionBy("url", "sent_idx").orderBy("tok_idx")
@@ -148,11 +217,84 @@ def mentions_stage(sentences: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # stage 4: triples — (M, P, M) pattern over the item sequence, JVM-side
+#
+# Hot path: per-row array expression over the sentence's own token and
+# mention-span arrays — ZERO shuffle. The window-function variant
+# (`triples_stage_window`) is kept as the relational formulation.
 # --------------------------------------------------------------------------
-def triples_stage(sentences: DataFrame, mentions: DataFrame) -> DataFrame:
+def _predicates_sql_array() -> str:
+    return "array(" + ", ".join(f"'{p}'" for p in sorted(PREDICATE_VERBS)) + ")"
+
+
+def triples_stage(sentences: DataFrame, mentions: DataFrame = None) -> DataFrame:
     """Consecutive (MENTION, PREDICATE, MENTION) runs in the per-sentence
-    item sequence → (subj, pred, obj). Implemented with `lead` windows
-    (SURVEY.md §2.5) — no Python. Ground truth: kgref.triples.
+    item sequence → (subj, pred, obj). Pure per-row higher-order array
+    ops: build the item sequence (mentions + predicate tokens) sorted by
+    offset, scan every consecutive item triple. No shuffle, no Python.
+    Ground truth: kgref.triples. `mentions` is accepted for API
+    compatibility but unused — mention spans fold out of the sentence
+    row itself.
+    """
+    spanned = sentences_with_mention_spans(sentences)
+    items_expr = f"""
+    array_sort(concat(
+      transform(mention_spans, s -> named_struct(
+        'start', s.start, 'end', s.end, 'kind', 'M',
+        'surface', substring(text, cast(s.start + 1 as int), cast(s.end - s.start as int)),
+        'ent_type', s.ent_type)),
+      transform(
+        filter(arrays_zip(tokens, bio, starts, ends),
+               x -> x.bio = 'O' and array_contains({_predicates_sql_array()}, x.tokens)),
+        x -> named_struct(
+          'start', x.starts, 'end', x.ends, 'kind', 'P',
+          'surface', x.tokens, 'ent_type', cast(null as string)))
+    ))
+    """
+    triples_expr = """
+    filter(
+      transform(
+        if(size(items) >= 3, sequence(2, size(items) - 1), cast(array() as array<int>)),
+        i -> if(element_at(items, i - 1).kind = 'M'
+                and element_at(items, i).kind = 'P'
+                and element_at(items, i + 1).kind = 'M',
+             named_struct(
+               'subj', element_at(items, i - 1).surface,
+               'pred', element_at(items, i).surface,
+               'obj',  element_at(items, i + 1).surface,
+               'subj_type', element_at(items, i - 1).ent_type,
+               'obj_type',  element_at(items, i + 1).ent_type,
+               'subj_span', named_struct('start', element_at(items, i - 1).start,
+                                         'end',   element_at(items, i - 1).end),
+               'obj_span',  named_struct('start', element_at(items, i + 1).start,
+                                         'end',   element_at(items, i + 1).end)),
+             cast(null as struct<subj:string,pred:string,obj:string,
+                                 subj_type:string,obj_type:string,
+                                 subj_span:struct<start:bigint,end:bigint>,
+                                 obj_span:struct<start:bigint,end:bigint>>))),
+      t -> t is not null)
+    """
+    return (
+        spanned.withColumn("items", F.expr(items_expr))
+        .withColumn("triples", F.expr(triples_expr))
+        .select("url", "sent_idx", F.explode("triples").alias("t"))
+        .select(
+            "url",
+            "sent_idx",
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.subj_type").alias("subj_type"),
+            F.col("t.obj_type").alias("obj_type"),
+            F.col("t.subj_span").alias("subj_span"),
+            F.col("t.obj_span").alias("obj_span"),
+        )
+    )
+
+
+def triples_stage_window(sentences: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Window-function formulation of the (M, P, M) scan (`lead` over the
+    per-sentence item sequence, SURVEY.md §2.5). Shuffles by sentence;
+    semantically identical to `triples_stage`.
     """
     toks = tokens_long(sentences)
     preds = toks.filter(

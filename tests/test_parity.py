@@ -95,3 +95,28 @@ def test_sentence_parity(stages):
         for i, s in enumerate(split_sentences(text)):
             oracle_sents.add((url, i, s))
     assert spark_sents == oracle_sents
+
+
+def test_window_and_fold_variants_agree(stages):
+    """The shuffle-free fold implementations must equal the
+    window-function formulations exactly."""
+    from ontonotes_5_parsing_spark.pipeline.stages import (
+        mentions_stage_window,
+        triples_stage_window,
+    )
+
+    _, sentences, mentions, triples = stages
+    win_mentions = {
+        tuple(r) for r in mentions_stage_window(sentences).collect()
+    }
+    fold_mentions = {tuple(r) for r in mentions.collect()}
+    assert win_mentions == fold_mentions
+
+    win_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in triples_stage_window(sentences, mentions).collect()
+    }
+    fold_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj) for r in triples.collect()
+    }
+    assert win_triples == fold_triples

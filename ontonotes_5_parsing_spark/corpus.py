@@ -137,7 +137,9 @@ def web_pages_df(spark, n_pages: int, seed: int = 42, partitions: int | None = N
     from .pipeline.schemas import WEB_PAGES_SCHEMA
 
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism, 1)
+        # 4× cores: bounds per-task memory (pages are materialized a
+        # partition at a time) and smooths skewed task durations
+        partitions = max(spark.sparkContext.defaultParallelism * 4, 4)
     ids = spark.range(0, n_pages, 1, partitions).withColumnRenamed("id", "doc_id")
 
     def gen(batches):
@@ -146,6 +148,22 @@ def web_pages_df(spark, n_pages: int, seed: int = 42, partitions: int | None = N
                 yield generate_pages(pdf["doc_id"].tolist(), seed)
 
     return ids.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
+
+
+def write_web_pages_parquet(spark, n_pages: int, path: str, seed: int = 42) -> None:
+    """Materialize the synthetic corpus as a real input table — the
+    production shape (the engine reads Iceberg/parquet, it does not
+    generate). Used by the scaling bench so measured throughput is
+    scan→triples, not generator→triples."""
+    web_pages_df(spark, n_pages, seed).write.mode("overwrite").parquet(path)
+
+
+def read_web_pages(spark, path: str):
+    """Read a materialized web_pages table, repartitioned for the Arrow
+    UDF stages (html is ~3 KB/row; the default 128 MB scan splits give
+    far fewer partitions than cores)."""
+    parallelism = max(spark.sparkContext.defaultParallelism * 4, 4)
+    return spark.read.parquet(path).repartition(parallelism)
 
 
 def web_pages_from_documents(spark, sf_dir: str, seed: int = 42):
@@ -159,7 +177,7 @@ def web_pages_from_documents(spark, sf_dir: str, seed: int = 42):
     # a single parquet file scans as ONE partition — repartition the ids
     # so page materialization (and every downstream Arrow UDF stage)
     # parallelizes across the cluster
-    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    parallelism = max(spark.sparkContext.defaultParallelism * 4, 4)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")

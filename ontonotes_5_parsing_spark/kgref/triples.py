@@ -24,7 +24,17 @@ Triple = Tuple[str, str, str]
 def extract_triples(sentence_text: str) -> List[dict]:
     """All (subj, pred, obj) triples of one sentence, with char spans."""
     ann = annotate_sentence(sentence_text)
-    tokens, bounds, bio = ann["tokens"], ann["bounds"], ann["bio"]
+    return triples_from_annotation(
+        sentence_text, ann["tokens"], ann["bounds"], ann["bio"]
+    )
+
+
+def triples_from_annotation(
+    sentence_text: str, tokens, bounds, bio
+) -> List[dict]:
+    """Triple scan over an already-annotated sentence (shared by
+    `extract_triples` and the Spark parse stage, which holds the
+    annotation arrays in hand)."""
     mention_spans = bio_to_spans(bio, bounds)
 
     # item sequence: mentions and predicate tokens ordered by start offset

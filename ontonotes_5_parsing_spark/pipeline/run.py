@@ -1,8 +1,15 @@
 """End-to-end DAG runner: web_pages → nodes/edges.
 
-In-memory mode (tests, bench) chains the stages directly; checkpointed
-mode (`work_dir` set) materializes each stage with a lineage manifest
-and resumes completed stages on re-run (BASELINE.json:14).
+Two phases with distinct execution characters:
+
+- `build_extraction`: pages → sentences → mentions → triples. Fully
+  lazy, shuffle-free after the two Arrow UDF stages.
+- `build_graph`: mentions/triples → linked → nodes/edges. Contains the
+  eager connected-components step (vocabulary-scale).
+
+`run_pipeline` composes both; checkpointed mode (`work_dir` set)
+materializes each stage with a lineage manifest and resumes completed
+stages on re-run (BASELINE.json:14).
 """
 
 from __future__ import annotations
@@ -12,7 +19,41 @@ from pyspark.sql import DataFrame
 from . import lineage
 from .canonicalize import build_nodes_edges
 from .linking import link_entities
-from .stages import annotations_stage, extract_stage, mentions_stage, parse_stage, triples_stage
+from .stages import (
+    annotations_stage,
+    extract_parse_stage,
+    extract_stage,
+    mentions_from_parsed,
+    mentions_stage,
+    parse_stage,
+    triples_from_parsed,
+    triples_stage,
+)
+
+
+def build_extraction(pages: DataFrame) -> dict[str, DataFrame]:
+    """pages → extracted/sentences/mentions/triples (lazy).
+
+    Uses the fused extract+parse+annotate stage (one Arrow roundtrip);
+    mentions/triples are pure explodes. sentences and mentions fan out
+    to multiple consumers: persisted so the Python chain runs once.
+    """
+    sentences = extract_parse_stage(pages, lean=True).persist()
+    mentions = mentions_from_parsed(sentences).persist()
+    triples = triples_from_parsed(sentences)
+    return {
+        "extracted": extract_stage(pages),
+        "sentences": sentences,
+        "mentions": mentions,
+        "triples": triples,
+    }
+
+
+def build_graph(mentions: DataFrame, triples: DataFrame) -> dict[str, DataFrame]:
+    """mentions/triples → linked/nodes/edges (runs eager CC actions)."""
+    linked = link_entities(mentions).persist()
+    nodes, edges = build_nodes_edges(triples, linked)
+    return {"linked": linked, "nodes": nodes, "edges": edges}
 
 
 def run_pipeline(
@@ -24,30 +65,10 @@ def run_pipeline(
     spark = pages.sparkSession
 
     if work_dir is None:
-        extracted = extract_stage(pages)
-        # sentences and mentions fan out to multiple consumers (triples,
-        # linking, annotations): persist AND materialize eagerly —
-        # branches of one lazy action would otherwise race the cold
-        # cache and each recompute the Python parse chain
-        sentences = parse_stage(extracted).persist()
-        sentences.count()
-        mentions = mentions_stage(sentences).persist()
-        mentions.count()
-        triples = triples_stage(sentences, mentions)
-        # linked is vocabulary-scale and feeds canonical selection plus
-        # both endpoint-resolution joins — persist it
-        linked = link_entities(mentions).persist()
-        nodes, edges = build_nodes_edges(triples, linked)
-        return {
-            "extracted": extracted,
-            "sentences": sentences,
-            "mentions": mentions,
-            "triples": triples,
-            "annotations": annotations_stage(sentences, mentions),
-            "linked": linked,
-            "nodes": nodes,
-            "edges": edges,
-        }
+        out = build_extraction(pages)
+        out.update(build_graph(out["mentions"], out["triples"]))
+        out["annotations"] = annotations_stage(out["sentences"], out["mentions"])
+        return out
 
     def stage(name: str, build, partition_by=None) -> DataFrame:
         stage_dir = f"{work_dir}/{name}"

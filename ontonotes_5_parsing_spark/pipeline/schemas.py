@@ -38,6 +38,52 @@ SENTENCES_SCHEMA = T.StructType(
     ]
 )
 
+MENTION_SPAN = T.StructType(
+    [
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("ent_type", T.StringType(), False),
+    ]
+)
+
+TRIPLE_ITEM = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("subj_type", T.StringType(), True),
+        T.StructField("obj_type", T.StringType(), True),
+        T.StructField("subj_span", SPAN, True),
+        T.StructField("obj_span", SPAN, True),
+    ]
+)
+
+# full parse output: sentences plus pre-computed mention spans and
+# triples (arrays per sentence, exploded relationally downstream)
+PARSED_SENTENCES_SCHEMA = T.StructType(
+    list(SENTENCES_SCHEMA.fields)
+    + [
+        T.StructField("mention_spans", T.ArrayType(MENTION_SPAN), False),
+        T.StructField("triple_items", T.ArrayType(TRIPLE_ITEM), False),
+    ]
+)
+
+# hot-path output: token arrays dropped — they are ~60% of the Arrow
+# bytes and nothing downstream of the fused stage reads them (a Python
+# UDF must materialize every declared column, so pruning has to happen
+# in the schema, not in Catalyst)
+LEAN_PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField("mention_spans", T.ArrayType(MENTION_SPAN), False),
+        T.StructField("triple_items", T.ArrayType(TRIPLE_ITEM), False),
+    ]
+)
+
 MENTIONS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

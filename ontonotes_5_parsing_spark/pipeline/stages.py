@@ -84,6 +84,112 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
     )
 
 
+def _extract_parse_batches_impl(
+    batches: Iterator[pd.DataFrame], lean: bool
+) -> Iterator[pd.DataFrame]:
+    from ..kgref.ner import bio_to_spans
+    from ..kgref.triples import triples_from_annotation
+
+    if lean:
+        cols = ("url", "sent_idx", "text", "lang", "n_tokens",
+                "mention_spans", "triple_items")
+    else:
+        cols = ("url", "sent_idx", "text", "lang", "tokens", "starts",
+                "ends", "bio", "mention_spans", "triple_items")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for url, lang, html in zip(pdf["url"], pdf["lang"], pdf["html"]):
+            text = extract_text(html)
+            if not text:
+                continue
+            for sent_idx, sent in enumerate(split_sentences(text)):
+                tokens = tokenize_any_text(sent)
+                if not tokens:
+                    continue
+                bounds = get_token_bounds(sent, tokens)
+                bio = tag_bio(tokens)
+                spans = bio_to_spans(bio, bounds)
+                triples = triples_from_annotation(sent, tokens, bounds, bio)
+                out["url"].append(url)
+                out["sent_idx"].append(sent_idx)
+                out["text"].append(sent)
+                out["lang"].append(lang)
+                if lean:
+                    out["n_tokens"].append(len(tokens))
+                else:
+                    out["tokens"].append(tokens)
+                    out["starts"].append([b[0] for b in bounds])
+                    out["ends"].append([b[1] for b in bounds])
+                    out["bio"].append(bio)
+                out["mention_spans"].append(
+                    [{"start": s, "end": e, "ent_type": t} for s, e, t in spans]
+                )
+                out["triple_items"].append(
+                    [
+                        {
+                            "subj": t["subj"],
+                            "pred": t["pred"],
+                            "obj": t["obj"],
+                            "subj_type": t["subj_type"],
+                            "obj_type": t["obj_type"],
+                            "subj_span": {"start": t["subj_span"][0], "end": t["subj_span"][1]},
+                            "obj_span": {"start": t["obj_span"][0], "end": t["obj_span"][1]},
+                        }
+                        for t in triples
+                    ]
+                )
+        yield pd.DataFrame(out)
+
+
+def extract_parse_stage(pages: DataFrame, lean: bool = False) -> DataFrame:
+    """Fused extract+parse+annotate: html → fully-annotated sentences in
+    ONE Arrow roundtrip. With ``lean=True`` the token arrays are not
+    shipped (hot path; LEAN_PARSED_SCHEMA).
+
+    extract_stage + parse_stage chain two separate Python evals with a
+    JVM↔Python Arrow hop between them; and the BIO→span / triple scans
+    are per-sentence sequential logic that higher-order JVM folds run
+    *interpreted* (no whole-stage codegen for lambda functions) — doing
+    them here, where the token arrays are already in hand, is both
+    faster and byte-identical by construction (same kgref kernels).
+    Downstream, mentions/triples are pure explodes (codegen'd).
+    extract_stage / mentions_stage / triples_stage remain the standalone
+    relational formulations for the checkpointed path, the operator
+    surface, and the parity suite.
+    """
+    from functools import partial
+
+    from .schemas import LEAN_PARSED_SCHEMA, PARSED_SENTENCES_SCHEMA
+
+    return pages.select("url", "lang", "html").mapInPandas(
+        partial(_extract_parse_batches_impl, lean=lean),
+        schema=LEAN_PARSED_SCHEMA if lean else PARSED_SENTENCES_SCHEMA,
+    )
+
+
+def mentions_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Explode the pre-computed mention spans (hot path)."""
+    return parsed.select(
+        "url", "sent_idx", "text", F.explode("mention_spans").alias("m")
+    ).select(
+        "url",
+        "sent_idx",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.expr(
+            "substring(text, cast(m.start + 1 as int), cast(m.end - m.start as int))"
+        ).alias("surface"),
+        F.col("m.ent_type").alias("ent_type"),
+    )
+
+
+def triples_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Explode the pre-computed triples (hot path)."""
+    return parsed.select(
+        "url", "sent_idx", F.explode("triple_items").alias("t")
+    ).select("url", "sent_idx", "t.*")
+
+
 # --------------------------------------------------------------------------
 # stage 3: mentions — BIO→span run-length scan, two implementations
 #

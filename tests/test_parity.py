@@ -120,3 +120,29 @@ def test_window_and_fold_variants_agree(stages):
         (r.url, r.sent_idx, r.subj, r.pred, r.obj) for r in triples.collect()
     }
     assert win_triples == fold_triples
+
+
+def test_hot_path_matches_relational_variants(spark, pages):
+    """The fused extract+parse+annotate hot path must produce the same
+    mentions and triples as the relational (fold) formulations."""
+    from ontonotes_5_parsing_spark.pipeline.stages import (
+        extract_parse_stage,
+        mentions_from_parsed,
+        mentions_stage,
+        triples_from_parsed,
+        triples_stage,
+    )
+
+    parsed = extract_parse_stage(pages).cache()
+    hot_mentions = {tuple(r) for r in mentions_from_parsed(parsed).collect()}
+    fold_mentions = {tuple(r) for r in mentions_stage(parsed).collect()}
+    assert hot_mentions == fold_mentions
+    hot_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in triples_from_parsed(parsed).collect()
+    }
+    fold_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in triples_stage(parsed, None).collect()
+    }
+    assert hot_triples == fold_triples and len(hot_triples) > 0

@@ -75,6 +75,7 @@ PARSED_SENTENCES_SCHEMA = T.StructType(
 LEAN_PARSED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("sent_idx", T.IntegerType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("lang", T.StringType(), True),

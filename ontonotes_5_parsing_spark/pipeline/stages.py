@@ -91,14 +91,15 @@ def _extract_parse_batches_impl(
     from ..kgref.triples import triples_from_annotation
 
     if lean:
-        cols = ("url", "sent_idx", "text", "lang", "n_tokens",
+        cols = ("url", "warc_ts", "sent_idx", "text", "lang", "n_tokens",
                 "mention_spans", "triple_items")
     else:
         cols = ("url", "sent_idx", "text", "lang", "tokens", "starts",
                 "ends", "bio", "mention_spans", "triple_items")
     for pdf in batches:
         out = {k: [] for k in cols}
-        for url, lang, html in zip(pdf["url"], pdf["lang"], pdf["html"]):
+        ts_col = pdf["warc_ts"] if "warc_ts" in pdf.columns else [None] * len(pdf)
+        for url, lang, html, warc_ts in zip(pdf["url"], pdf["lang"], pdf["html"], ts_col):
             text = extract_text(html)
             if not text:
                 continue
@@ -115,6 +116,7 @@ def _extract_parse_batches_impl(
                 out["text"].append(sent)
                 out["lang"].append(lang)
                 if lean:
+                    out["warc_ts"].append(warc_ts)
                     out["n_tokens"].append(len(tokens))
                 else:
                     out["tokens"].append(tokens)
@@ -161,7 +163,10 @@ def extract_parse_stage(pages: DataFrame, lean: bool = False) -> DataFrame:
 
     from .schemas import LEAN_PARSED_SCHEMA, PARSED_SENTENCES_SCHEMA
 
-    return pages.select("url", "lang", "html").mapInPandas(
+    in_cols = ["url", "lang", "html"]
+    if lean and "warc_ts" in pages.columns:
+        in_cols.append("warc_ts")  # event-time passthrough for streaming
+    return pages.select(*in_cols).mapInPandas(
         partial(_extract_parse_batches_impl, lean=lean),
         schema=LEAN_PARSED_SCHEMA if lean else PARSED_SENTENCES_SCHEMA,
     )

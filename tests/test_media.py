@@ -1,0 +1,71 @@
+"""Multimodal binary-column plumbing (schema, batching, determinism)."""
+
+import pytest
+
+from ontonotes_5_parsing_spark.pipeline.media import (
+    audio_features,
+    encode_image,
+    image_features,
+    media_df,
+    resize_images,
+    _decode_image_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_df(spark, 30).cache()
+
+
+def test_media_table_shape(media):
+    rows = media.collect()
+    assert len(rows) == 30
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio"}
+    for r in rows:
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert len(r.payload) > 16
+
+
+def test_image_features_deterministic(spark, media):
+    f1 = {r.media_id: r for r in image_features(media).collect()}
+    f2 = {r.media_id: r for r in image_features(media).collect()}
+    assert len(f1) == 20  # media_id % 3 != 0
+    for mid, r in f1.items():
+        assert r.width > 0 and r.height > 0 and r.n_channels == 3
+        assert len(r.embedding) == 16
+        assert f2[mid].embedding == r.embedding
+        assert f2[mid].mean_intensity == r.mean_intensity
+
+
+def test_audio_features(media):
+    feats = audio_features(media).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r.sample_rate == 16000
+        assert r.n_samples > 0
+        assert r.rms > 0
+        assert len(r.embedding) == 16
+
+
+def test_resize_shrinks_payload(spark, media):
+    small = {r.media_id: r for r in resize_images(media, max_side=8).collect()}
+    orig = {r.media_id: r for r in media.filter("kind='image'").collect()}
+    assert set(small) == set(orig)
+    for mid in small:
+        w, h, c, _ = _decode_image_bytes(bytes(small[mid].payload))
+        ow, oh, oc, _ = _decode_image_bytes(bytes(orig[mid].payload))
+        assert w <= ow and h <= oh and c == oc
+        assert len(small[mid].payload) < len(orig[mid].payload)
+
+
+def test_real_codec_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_synthetic_codec_roundtrip():
+    payload = encode_image(7, 16, 8, 3)
+    w, h, c, px = _decode_image_bytes(payload)
+    assert (w, h, c) == (16, 8, 3)
+    assert len(px) == 16 * 8 * 3

@@ -1,0 +1,73 @@
+"""reduce_entities lifecycle parity (SURVEY.md §3.2)."""
+
+from pyspark.sql import functions as F
+
+from ontonotes_5_parsing_spark.kgref.distance import find_nearest_label
+from ontonotes_5_parsing_spark.kgref.spans import insert_new_bounds
+from ontonotes_5_parsing_spark.pipeline.reduce_labels import (
+    apply_rules,
+    build_rules,
+    label_frequencies,
+    reduce_labels,
+)
+from ontonotes_5_parsing_spark.pipeline.schemas import ANNOTATIONS_SCHEMA
+
+
+def _ann_df(spark, rows):
+    return spark.createDataFrame(rows, schema=ANNOTATIONS_SCHEMA)
+
+
+def _rows(spark):
+    return [
+        ("u1", 0, "alpha beta gamma delta", "english",
+         {"NP": [(0, 5)], "NP-SBJ": [(6, 10)], "VP": [(11, 16)]}),
+        ("u1", 1, "alpha beta gamma delta", "english",
+         {"NP": [(0, 5), (11, 16)], "NP-OBJ": [(6, 10)]}),
+        ("u2", 0, "alpha beta gamma delta", "english",
+         {"VP": [(0, 5)], "WHNP": [(6, 10)]}),
+    ]
+
+
+def test_label_frequencies(spark):
+    freq = {
+        r["label"]: r["freq"]
+        for r in label_frequencies(_ann_df(spark, _rows(spark))).collect()
+    }
+    assert freq == {"NP": 3, "NP-SBJ": 1, "VP": 2, "NP-OBJ": 1, "WHNP": 1}
+
+
+def test_build_rules_matches_reference_semantics(spark):
+    freq = label_frequencies(_ann_df(spark, _rows(spark)))
+    rules = build_rules(freq, n_seeds=2)
+    # seeds by (freq desc, label): NP, VP; others -> nearest by
+    # label_distance with first-match ties (reduce_entities.py:12-20)
+    seeds = ["NP", "VP"]
+    for label in ("NP-SBJ", "NP-OBJ", "WHNP"):
+        expected_seed = seeds[find_nearest_label(label, seeds)]
+        cluster = [k for k, v in rules.items() if v == rules[label]]
+        assert expected_seed in cluster
+    # canonical = min(len, label) within cluster
+    assert rules["NP"] == "NP"
+    assert rules["NP-SBJ"] == rules["NP"]
+
+
+def test_apply_rules_merges_collisions_with_interval_union(spark):
+    df = _ann_df(
+        spark,
+        [("u", 0, "aaaa bbbb cccc", "english",
+          {"NP": [(0, 4)], "NP-X": [(3, 9)], "VP": [(10, 14)]})],
+    )
+    out = apply_rules(df, {"NP": "NP", "NP-X": "NP", "VP": "VP"}).collect()[0]
+    ents = {k: [(s["start"], s["end"]) for s in v] for k, v in out["entities"].items()}
+    # same result as the reference's insert_new_bounds on collision
+    assert ents["NP"] == insert_new_bounds((3, 9), [(0, 4)])
+    assert ents["VP"] == [(10, 14)]
+
+
+def test_reduce_labels_end_to_end(spark):
+    out, rules = reduce_labels(_ann_df(spark, _rows(spark)), n_seeds=2)
+    labels_after = set()
+    for r in out.collect():
+        labels_after |= set(r["entities"].keys())
+    assert labels_after == set(rules.values())
+    assert len(labels_after) <= 2

@@ -1,0 +1,69 @@
+"""Structured Streaming jobs (availableNow trigger; SURVEY.md §2.9)."""
+
+import pytest
+
+from ontonotes_5_parsing_spark import corpus
+from ontonotes_5_parsing_spark.streaming import (
+    foreach_batch_pipeline,
+    stream_pages_to_triples,
+    windowed_mention_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_stream")
+    # two file drops = at least two micro-batches under maxFilesPerTrigger
+    corpus.web_pages_df(spark, 40, partitions=2).write.mode("overwrite").parquet(
+        str(d / "drop1")
+    )
+    corpus.web_pages_df(spark, 40).filter("url like '%doc2%'").write.mode(
+        "overwrite"
+    ).parquet(str(d / "drop2"))
+    # streaming file source wants a flat dir of files
+    flat = tmp_path_factory.mktemp("pages_flat")
+    corpus.web_pages_df(spark, 60, partitions=6).write.mode("overwrite").parquet(
+        str(flat)
+    )
+    return str(flat)
+
+
+def test_stream_pages_to_triples(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt1")
+    q = stream_pages_to_triples(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # must equal the batch pipeline on the same pages
+    from ontonotes_5_parsing_spark.pipeline.run import build_extraction
+
+    batch = build_extraction(corpus.web_pages_df(spark, 60))["triples"]
+    stream_set = {(r.url, r.sent_idx, r.subj, r.pred, r.obj) for r in got.collect()}
+    batch_set = {(r.url, r.sent_idx, r.subj, r.pred, r.obj) for r in batch.collect()}
+    assert stream_set == batch_set and len(stream_set) > 0
+
+
+def test_windowed_mention_counts(spark, pages_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    q = windowed_mention_counts(spark, pages_dir, ckpt)
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mention_counts").collect()
+    # watermark closes windows only when later events arrive; with
+    # availableNow the final windows may be withheld — accept the
+    # closed-window subset but verify schema and sane values
+    for r in rows:
+        assert r.n_mentions > 0
+        assert r.ent_type
+
+
+def test_foreach_batch_resume(spark, pages_dir, tmp_path):
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt3")
+    q = foreach_batch_pipeline(spark, pages_dir, work, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{work}/triples").count()
+    assert n1 > 0
+    # re-run with same checkpoint: no new files → no new rows (resume)
+    q2 = foreach_batch_pipeline(spark, pages_dir, work, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{work}/triples").count() == n1

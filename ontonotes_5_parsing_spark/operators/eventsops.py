@@ -141,7 +141,32 @@ FROM counts
 """
 
 
+# --- moving average (rows frame) -------------------------------------------
+def q_moving_avg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg_7"),
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg_7
+FROM events
+"""
+
+
 QUERIES = {
+    "win_events_moving_avg": (q_moving_avg, SQL_MOVING_AVG),
     "evt_hourly_counts": (q_hourly_counts, SQL_HOURLY_COUNTS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "evt_top_users": (q_top_users, SQL_TOP_USERS),

@@ -72,9 +72,43 @@ def q_kg_edges_top(spark, sf_dir):
     )
 
 
+def q_kg_label_reduce(spark, sf_dir):
+    """reduce_entities lifecycle over the corpus annotations: emits the
+    (label → canonical) rules table (rows-only; iterative + driver-side
+    nearest-label step is non-SQL)."""
+    from ..pipeline.reduce_labels import build_rules, label_frequencies
+    from ..pipeline.stages import annotations_stage
+
+    out = _pipeline(spark, sf_dir)
+    ann = annotations_stage(
+        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
+    )
+    rules = build_rules(label_frequencies(ann), n_seeds=6)
+    if not rules:
+        return spark.createDataFrame([], "label string, canonical string")
+    return spark.createDataFrame(
+        sorted(rules.items()), ["label", "canonical"]
+    )
+
+
+def q_kg_split_rollup(spark, sf_dir):
+    """A7 rollup over routed annotations (rows-only)."""
+    from ..pipeline.dataset_io import route_splits
+    from ..pipeline.stages import annotations_stage
+    from ..pipeline.statistics import split_rollup
+
+    out = _pipeline(spark, sf_dir)
+    ann = annotations_stage(
+        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
+    )
+    return split_rollup(route_splits(ann))
+
+
 QUERIES = {
     "kg_triples": (q_kg_triples, None),
     "kg_mention_type_counts": (q_kg_mention_type_counts, None),
     "kg_nodes": (q_kg_nodes, None),
     "kg_edges_top": (q_kg_edges_top, None),
+    "kg_label_reduce": (q_kg_label_reduce, None),
+    "kg_split_rollup": (q_kg_split_rollup, None),
 }

@@ -1,0 +1,56 @@
+"""Multimodal operator queries: binary media columns → typed features
+(rows-only checks; the synthetic codec is xxhash-free but the decode
+semantics have no SQL equivalent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..pipeline.media import audio_features, image_features, media_df
+
+N_MEDIA = 120
+
+
+def q_image_features(spark, sf_dir):
+    return image_features(media_df(spark, N_MEDIA))
+
+
+def q_audio_features(spark, sf_dir):
+    return audio_features(media_df(spark, N_MEDIA))
+
+
+def q_media_embedding_topk(spark, sf_dir):
+    """ANN over extracted media embeddings: brute-force cosine top-3 for
+    the first 5 image embeddings — the decode→embed→search chain."""
+    feats = image_features(media_df(spark, N_MEDIA)).select(
+        "media_id", "embedding"
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    q = feats.filter(F.col("media_id") < 15).select(
+        F.col("media_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = feats.select(F.col("media_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cos = dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUERIES = {
+    "media_image_features": (q_image_features, None),
+    "media_audio_features": (q_audio_features, None),
+    "media_embedding_topk": (q_media_embedding_topk, None),
+}

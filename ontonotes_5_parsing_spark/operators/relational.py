@@ -343,7 +343,32 @@ GROUP BY n_name
 """
 
 
+# --- grouping sets via the SQL API (A7 family) ---------------------------
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs JOIN customer_gs ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT c_mktsegment, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
+    "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "rel_local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),

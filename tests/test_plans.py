@@ -1,0 +1,80 @@
+"""Physical-plan regression checks: the optimizations the engine relies
+on at scale must actually appear in the plans (SURVEY.md §4) — predicate
+pushdown to the parquet scan, column pruning, broadcast joins for dims,
+TakeOrderedAndProject for top-k, shuffle-free mention extraction."""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from ontonotes_5_parsing_spark.operators.relational import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert "l_orderkey" not in read_cols  # unused columns never scanned
+    assert "l_tax" not in read_cols
+    assert {"l_quantity", "l_returnflag", "l_shipdate"} <= read_cols
+
+
+def test_dim_joins_broadcast_and_topk(spark):
+    from ontonotes_5_parsing_spark.operators.relational import q_shipping_priority
+
+    plan = plan_of(q_shipping_priority(spark, SF))
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this scale
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # limit+sort fused, no full sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter reached the scan
+
+
+def test_documents_scan_pruned_to_used_columns(spark):
+    from ontonotes_5_parsing_spark.operators.text import q_token_stats
+
+    plan = plan_of(q_token_stats(spark, SF))
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {"doc_id", "text"}
+
+
+def test_hot_path_mentions_have_no_shuffle(spark):
+    from ontonotes_5_parsing_spark import corpus
+    from ontonotes_5_parsing_spark.pipeline.stages import (
+        extract_parse_stage,
+        mentions_from_parsed,
+        triples_from_parsed,
+    )
+
+    pages = corpus.web_pages_df(spark, 10)
+    parsed = extract_parse_stage(pages, lean=True)
+    # the only Exchange allowed is the id repartition before generation —
+    # mention/triple extraction themselves add none
+    base_exchanges = plan_of(parsed).count("Exchange")
+    assert plan_of(mentions_from_parsed(parsed)).count("Exchange") == base_exchanges
+    assert plan_of(triples_from_parsed(parsed)).count("Exchange") == base_exchanges
+
+
+def test_salted_two_phase_aggregation_shape(spark):
+    from ontonotes_5_parsing_spark import corpus
+    from ontonotes_5_parsing_spark.pipeline.linking import surface_vocab
+    from ontonotes_5_parsing_spark.pipeline.run import build_extraction
+
+    mentions = build_extraction(corpus.web_pages_df(spark, 10))["mentions"]
+    plan = plan_of(surface_vocab(mentions))
+    # two-phase: partial agg on (surface, ent_type, salt) then final on
+    # (surface, ent_type) → exactly two Exchanges above the UDF stage
+    assert plan.count("HashAggregate") >= 4
+    assert "pmod(xxhash64" in plan

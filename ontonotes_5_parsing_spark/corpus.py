@@ -49,7 +49,8 @@ _ARABIC_ENTITIES = sorted(
 LANGS = ["english", "arabic", "chinese"]
 
 
-def _fact_sentence(rng: random.Random, lang: str) -> str:
+def _fact_sentence(rng: random.Random, lang: str) -> tuple[str, str]:
+    """Returns (sentence, subject surface)."""
     pred = rng.choice(PREDICATE_VERBS)
     if lang == "chinese" and _CJK_ENTITIES:
         subj = rng.choice(_CJK_ENTITIES)
@@ -66,7 +67,18 @@ def _fact_sentence(rng: random.Random, lang: str) -> str:
         obj = rng.choice(_OBJECT_POOL)
         while obj == subj:
             obj = rng.choice(_OBJECT_POOL)
-    return f"{subj} {pred} {obj}."
+    return f"{subj} {pred} {obj}.", subj
+
+
+def _pronoun_followup(rng: random.Random, subj: str) -> str:
+    """A pronoun fact whose subject corefers with the previous fact's
+    subject — exercises coreference-chain merging (BASELINE.json:6)."""
+    pronoun = "He" if GAZETTEER.get(subj) == "PERSON" else "It"
+    pred = rng.choice(PREDICATE_VERBS)
+    obj = rng.choice(_OBJECT_POOL)
+    while obj == subj:
+        obj = rng.choice(_OBJECT_POOL)
+    return f"{pronoun} {pred} {obj}."
 
 
 def _filler_sentence(rng: random.Random, lang: str) -> str:
@@ -109,10 +121,16 @@ def generate_page(doc_id: int, seed: int = 42) -> dict:
     n_sentences = rng.randint(3, 10)
     n_facts = rng.randint(1, min(4, n_sentences))
     fact_positions = set(rng.sample(range(n_sentences), n_facts))
-    sentences = [
-        _fact_sentence(rng, lang) if i in fact_positions else _filler_sentence(rng, lang)
-        for i in range(n_sentences)
-    ]
+    sentences = []
+    for i in range(n_sentences):
+        if i in fact_positions:
+            sent, subj = _fact_sentence(rng, lang)
+            sentences.append(sent)
+            # ~30% of english facts get a coreferent pronoun follow-up
+            if lang == "english" and rng.random() < 0.30:
+                sentences.append(_pronoun_followup(rng, subj))
+        else:
+            sentences.append(_filler_sentence(rng, lang))
     text = "\n".join(sentences)
     return {
         "url": url,

@@ -38,7 +38,7 @@ def build_extraction(pages: DataFrame) -> dict[str, DataFrame]:
     mentions/triples are pure explodes. sentences and mentions fan out
     to multiple consumers: persisted so the Python chain runs once.
     """
-    sentences = extract_parse_stage(pages, lean=True).persist()
+    sentences = extract_parse_stage(pages, lean=True, coref=True).persist()
     mentions = mentions_from_parsed(sentences).persist()
     triples = triples_from_parsed(sentences)
     return {

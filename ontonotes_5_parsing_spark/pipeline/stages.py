@@ -85,8 +85,9 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
 
 
 def _extract_parse_batches_impl(
-    batches: Iterator[pd.DataFrame], lean: bool
+    batches: Iterator[pd.DataFrame], lean: bool, coref: bool = False
 ) -> Iterator[pd.DataFrame]:
+    from ..kgref.coref import CorefState, extract_triples_with_coref
     from ..kgref.ner import bio_to_spans
     from ..kgref.triples import triples_from_annotation
 
@@ -103,6 +104,7 @@ def _extract_parse_batches_impl(
             text = extract_text(html)
             if not text:
                 continue
+            state = CorefState()  # per-document antecedent tracker
             for sent_idx, sent in enumerate(split_sentences(text)):
                 tokens = tokenize_any_text(sent)
                 if not tokens:
@@ -110,7 +112,12 @@ def _extract_parse_batches_impl(
                 bounds = get_token_bounds(sent, tokens)
                 bio = tag_bio(tokens)
                 spans = bio_to_spans(bio, bounds)
-                triples = triples_from_annotation(sent, tokens, bounds, bio)
+                if coref:
+                    triples = extract_triples_with_coref(
+                        sent, tokens, bounds, bio, state
+                    )
+                else:
+                    triples = triples_from_annotation(sent, tokens, bounds, bio)
                 out["url"].append(url)
                 out["sent_idx"].append(sent_idx)
                 out["text"].append(sent)
@@ -143,10 +150,15 @@ def _extract_parse_batches_impl(
         yield pd.DataFrame(out)
 
 
-def extract_parse_stage(pages: DataFrame, lean: bool = False) -> DataFrame:
+def extract_parse_stage(
+    pages: DataFrame, lean: bool = False, coref: bool = False
+) -> DataFrame:
     """Fused extract+parse+annotate: html → fully-annotated sentences in
     ONE Arrow roundtrip. With ``lean=True`` the token arrays are not
-    shipped (hot path; LEAN_PARSED_SCHEMA).
+    shipped (hot path; LEAN_PARSED_SCHEMA). With ``coref=True``,
+    document-level pronoun coreference chains merge into triple
+    extraction (kgref.coref — the whole page is in hand here, so the
+    per-document sequential state costs nothing extra).
 
     extract_stage + parse_stage chain two separate Python evals with a
     JVM↔Python Arrow hop between them; and the BIO→span / triple scans
@@ -167,7 +179,7 @@ def extract_parse_stage(pages: DataFrame, lean: bool = False) -> DataFrame:
     if lean and "warc_ts" in pages.columns:
         in_cols.append("warc_ts")  # event-time passthrough for streaming
     return pages.select(*in_cols).mapInPandas(
-        partial(_extract_parse_batches_impl, lean=lean),
+        partial(_extract_parse_batches_impl, lean=lean, coref=coref),
         schema=LEAN_PARSED_SCHEMA if lean else PARSED_SENTENCES_SCHEMA,
     )
 

@@ -146,3 +146,39 @@ def test_hot_path_matches_relational_variants(spark, pages):
         for r in triples_stage(parsed, None).collect()
     }
     assert hot_triples == fold_triples and len(hot_triples) > 0
+
+
+def test_coref_triples_match_oracle(spark, pages):
+    """Coref-merged triples (hot path) must equal the kgref per-document
+    sequential oracle (CorefState over sentences in order)."""
+    from ontonotes_5_parsing_spark import corpus
+    from ontonotes_5_parsing_spark.kgref import split_sentences, tokenize_any_text
+    from ontonotes_5_parsing_spark.kgref.coref import CorefState, extract_triples_with_coref
+    from ontonotes_5_parsing_spark.kgref.ner import tag_bio
+    from ontonotes_5_parsing_spark.kgref.spans import get_token_bounds
+    from ontonotes_5_parsing_spark.pipeline.stages import (
+        extract_parse_stage,
+        triples_from_parsed,
+    )
+
+    parsed = extract_parse_stage(pages, lean=True, coref=True)
+    spark_triples = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in triples_from_parsed(parsed).collect()
+    }
+    oracle = set()
+    n_pronoun_subjects = 0
+    for r in pages.select("url").collect():
+        doc_id = int(r.url.rsplit("doc", 1)[1])
+        page = corpus.generate_page(doc_id)
+        state = CorefState()
+        for sent_idx, sent in enumerate(split_sentences(page["text"])):
+            tokens = tokenize_any_text(sent)
+            bounds = get_token_bounds(sent, tokens)
+            bio = tag_bio(tokens)
+            for t in extract_triples_with_coref(sent, tokens, bounds, bio, state):
+                oracle.add((r.url, sent_idx, t["subj"], t["pred"], t["obj"]))
+                if sent.startswith(("He ", "She ", "It ", "They ")):
+                    n_pronoun_subjects += 1
+    assert spark_triples == oracle
+    assert n_pronoun_subjects > 0  # the corpus plants coref chains

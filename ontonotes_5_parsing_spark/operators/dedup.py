@@ -160,8 +160,70 @@ def q_simhash(spark, sf_dir):
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+# --- embedding-cosine near-dup pairs (IVF-style blocked) -------------------
+# Near-duplicate detection on the embedding space: candidate pairs only
+# within the same coarse cell (`label` plays the IVF coarse-quantizer
+# role), cosine computed in double precision with identical summation
+# in both engines, output int-only so no float reaches the hash compare.
+# At 100 TB the label blocking shards the O(n²) pair space into
+# shuffle-local per-cell pieces (co-partitioned join on the cell key).
+COS_THRESHOLD = 0.35
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("cell"),
+        )
+    )
+
+
+SQL_EMBEDDING_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cell
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, 64),
+                              i -> a.emb[i] * b.emb[i]))
+      / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+      >= {COS_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_minhash_buckets": (q_minhash_buckets, None),
     "dedup_simhash": (q_simhash, None),

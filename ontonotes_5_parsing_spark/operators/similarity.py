@@ -105,6 +105,111 @@ def q_ann_lsh_buckets(spark, sf_dir):
     )
 
 
+# --- IVF-style ANN: centroid assignment → per-cell search ------------------
+# Inverted-file ANN: (1) compute one centroid per coarse cell (avg of the
+# cell's vectors, dim-by-dim — posexplode + two-phase avg, regrouped into
+# an ordered array), (2) assign each query to its nearest centroid
+# (broadcast of the tiny centroid table), (3) exact top-k search only
+# inside the probed cell. At scale this is the standard recall/latency
+# trade: the O(n) scan becomes O(n / n_cells), the candidate join is
+# co-partitioned on the cell key, and the centroid table stays broadcast.
+IVF_TOP_K = 5
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = emb.select("label", F.posexplode("emb").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("cv")
+        )
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def cos(u, v):
+        return dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v)))
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), "label"
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cos(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("cell"))
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("emb").alias("cv2"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("ncos"), "neighbor_id")
+    return (
+        F.broadcast(probe)
+        .join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ncos", cos(F.col("qv"), F.col("cv2")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "cell", "neighbor_id", "rank")
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), dims AS (
+  SELECT label, dim, avg(emb[dim]) AS v
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+  GROUP BY label, dim
+), cent AS (
+  SELECT label, list(v ORDER BY dim) AS cv FROM dims GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < {N_QUERIES}
+), assign AS (
+  SELECT query_id, qv, label AS cell,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+           label) AS rn
+  FROM q CROSS JOIN cent
+), probe AS (
+  SELECT query_id, qv, cell FROM assign WHERE rn = 1
+), ranked AS (
+  SELECT p.query_id, p.cell, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> p.qv[i] * e.emb[i]))
+           / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.emb, x -> x * x)))) DESC,
+           e.vec_id) AS rank
+  FROM probe p JOIN e ON e.label = p.cell AND e.vec_id <> p.query_id
+)
+SELECT query_id, cell, neighbor_id, rank FROM ranked WHERE rank <= {IVF_TOP_K}
+"""
+
+
 # --- per-label norm statistics (float, same formula both engines) ----------
 def q_label_norm_stats(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -137,5 +242,6 @@ FROM t GROUP BY label
 QUERIES = {
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ann_label_norm_stats": (q_label_norm_stats, SQL_LABEL_NORM_STATS),
 }

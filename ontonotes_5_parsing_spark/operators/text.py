@@ -169,6 +169,81 @@ SELECT token, seed, dist FROM scored WHERE rn = 1
 """
 
 
+# --- language-ID by character-trigram profile (n-gram heuristic) ----------
+# Classic n-gram language identification, fully relational: (1) "train"
+# per-language trigram profiles from the corpus itself (top-PROFILE_N
+# trigrams per lang — tiny, broadcastable), (2) score every document's
+# trigram occurrences against each profile, (3) predict = argmax hits
+# with a deterministic tie-break. Generalizes the reference's
+# path-derived language tagging (`/root/reference/ontonotes5/utils.py:
+# 986-999`) into a content-based classifier. At scale the trigram
+# explode is partition-local and the profile join is a broadcast —
+# the only shuffles are the two-phase count aggregations.
+PROFILE_N = 20
+
+
+def q_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    profile = (
+        grams.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= PROFILE_N)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    scored = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "plang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", F.col("plang").alias("predicted_lang"), "hits"
+        )
+    )
+
+
+SQL_LANGID = f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(text)-2),
+                               i -> substr(text, i, 3))) AS g
+  FROM documents
+), prof AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS rn
+    FROM grams GROUP BY lang, g
+  ) WHERE rn <= {PROFILE_N}
+), scored AS (
+  SELECT gr.doc_id, gr.lang, p.plang, count(*) AS hits
+  FROM grams gr JOIN prof p USING (g)
+  GROUP BY gr.doc_id, gr.lang, p.plang
+), ranked AS (
+  SELECT doc_id, lang, plang AS predicted_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, plang) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, predicted_lang, hits FROM ranked WHERE rn = 1
+"""
+
+
 # --- split routing (J1 broadcast semi-join analog, utils.py:952-983) ------
 _SPLIT_MAP = [(str(d), "train" if d < 7 else ("development" if d < 9 else "test"))
               for d in range(10)]
@@ -205,5 +280,6 @@ QUERIES = {
     "txt_char_classes": (q_char_classes, SQL_CHAR_CLASSES),
     "txt_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "txt_vocab_reduce": (q_vocab_reduce, SQL_VOCAB_REDUCE),
+    "txt_langid": (q_langid, SQL_LANGID),
     "txt_split_routing": (q_split_routing, SQL_SPLIT_ROUTING),
 }

@@ -42,17 +42,24 @@ FROM documents GROUP BY md5(text)
 # computed as |∩| / (|A|+|B|-|∩|) in BOTH engines so float arithmetic
 # is identical.
 def q_jaccard_pairs(spark, sf_dir):
+    # Dictionary-encode the token sets as xxhash64 int64 arrays BEFORE the
+    # self-join (the standard shingle-encoding trick): set cardinalities —
+    # and hence every Jaccard value — are preserved (64-bit collisions are
+    # ~|A||B|/2^64 per pair, i.e. never), while per-pair intersection runs
+    # on longs instead of strings. Set sizes are materialized pre-join so
+    # the band predicate costs an int compare per pair, not a size() call.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    )
+        F.transform(
+            F.array_distinct(F.split(F.col("text"), " ")),
+            lambda t: F.xxhash64(t),
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    la = F.size(F.col("a.toks"))
-    lb = F.size(F.col("b.toks"))
-    jac = inter / (la + lb - inter)
+    jac = inter / (F.col("a.n") + F.col("b.n") - inter)
     # length-band prune: jaccard >= 0.5 implies |A| <= 2|B| and |B| <= 2|A|
     # (i >= (|A|+|B|)/3 and i <= min), so the band filter loses nothing and
     # skips the array_intersect for most pairs
@@ -61,8 +68,8 @@ def q_jaccard_pairs(spark, sf_dir):
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.size(F.col("a.toks")) <= 2 * F.size(F.col("b.toks")))
-            & (F.size(F.col("b.toks")) <= 2 * F.size(F.col("a.toks"))),
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -78,3 +78,22 @@ def test_salted_two_phase_aggregation_shape(spark):
     # (surface, ent_type) → exactly two Exchanges above the UDF stage
     assert plan.count("HashAggregate") >= 4
     assert "pmod(xxhash64" in plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every driver query's physical plan: no unplanned cartesian
+    product, and no row-at-a-time Python UDF (BatchEvalPython) — the
+    hot-path constraint of BASELINE.json:15. Broadcast nested-loop
+    joins are allowed (they are the intentional tiny-side cross joins
+    in vocab-reduce / ANN centroid assignment)."""
+    from ontonotes_5_parsing_spark.operators.registry import ALL_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    violations = []
+    for name, (fn, _sql) in ALL_QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython"))
+    assert not violations, violations

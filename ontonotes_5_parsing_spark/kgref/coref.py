@@ -76,14 +76,19 @@ def extract_triples_with_coref(
     bounds: List[Tuple[int, int]],
     bio: List[str],
     state: CorefState,
+    mention_spans: Optional[List[Tuple[int, int, str]]] = None,
 ) -> List[dict]:
     """Triple scan where resolved pronouns act as mentions carrying
     their antecedent's surface. The state is updated with this
-    sentence's real mentions AFTER resolution (strictly backward)."""
+    sentence's real mentions AFTER resolution (strictly backward).
+    ``mention_spans`` (the `bio_to_spans` output) may be passed when the
+    caller already computed it — e.g. the fused parse stage — to avoid
+    a second run-length scan."""
     from .lexicon import PREDICATE_VERBS
     from .ner import bio_to_spans
 
-    mention_spans = bio_to_spans(bio, bounds)
+    if mention_spans is None:
+        mention_spans = bio_to_spans(bio, bounds)
     items: List[tuple] = []
     for start, end, etype in mention_spans:
         items.append((start, end, "M", (sentence_text[start:end], etype)))

@@ -27,17 +27,32 @@ for _surface, _etype in GAZETTEER.items():
     _toks = tuple(tokenize_any_text(_surface))
     _GAZ_TOKENS[_toks] = _etype
     _MAX_GAZ_LEN = max(_MAX_GAZ_LEN, len(_toks))
+# first tokens of any gazetteer entry: tokens outside this set can never
+# start a match, so the longest-match tuple probing is skipped for them
+_GAZ_FIRST = frozenset(t[0] for t in _GAZ_TOKENS)
+_B_TAG = {e: "B-" + e for e in set(_GAZ_TOKENS.values()) | {"DATE", "CARDINAL"}}
+_I_TAG = {e: "I-" + e for e in _B_TAG}
 
 _YEAR = re.compile(r"^(1[89]\d\d|20\d\d)$")
 _NUMBER = re.compile(r"^\d+$")
+_SINGLE_TYPE_CACHE: Dict[str, str | None] = {}
 
 
 def _single_token_type(tok: str) -> str | None:
+    try:
+        return _SINGLE_TYPE_CACHE[tok]
+    except KeyError:
+        pass
     if _YEAR.match(tok):
-        return "DATE"
-    if _NUMBER.match(tok):
-        return "CARDINAL"
-    return None
+        t: str | None = "DATE"
+    elif _NUMBER.match(tok):
+        t = "CARDINAL"
+    else:
+        t = None
+    if len(_SINGLE_TYPE_CACHE) > 200_000:  # bound long-lived worker memory
+        _SINGLE_TYPE_CACHE.clear()
+    _SINGLE_TYPE_CACHE[tok] = t
+    return t
 
 
 def tag_bio(tokens: List[str]) -> List[str]:
@@ -47,19 +62,21 @@ def tag_bio(tokens: List[str]) -> List[str]:
     n = len(tokens)
     while i < n:
         matched = False
-        for span_len in range(min(_MAX_GAZ_LEN, n - i), 0, -1):
-            etype = _GAZ_TOKENS.get(tuple(tokens[i : i + span_len]))
-            if etype is not None:
-                bio[i] = f"B-{etype}"
-                for k in range(i + 1, i + span_len):
-                    bio[k] = f"I-{etype}"
-                i += span_len
-                matched = True
-                break
+        if tokens[i] in _GAZ_FIRST:
+            for span_len in range(min(_MAX_GAZ_LEN, n - i), 0, -1):
+                etype = _GAZ_TOKENS.get(tuple(tokens[i : i + span_len]))
+                if etype is not None:
+                    bio[i] = _B_TAG[etype]
+                    itag = _I_TAG[etype]
+                    for k in range(i + 1, i + span_len):
+                        bio[k] = itag
+                    i += span_len
+                    matched = True
+                    break
         if not matched:
             rule_type = _single_token_type(tokens[i])
             if rule_type is not None:
-                bio[i] = f"B-{rule_type}"
+                bio[i] = _B_TAG[rule_type]
             i += 1
     return bio
 

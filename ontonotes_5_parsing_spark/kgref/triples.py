@@ -30,12 +30,14 @@ def extract_triples(sentence_text: str) -> List[dict]:
 
 
 def triples_from_annotation(
-    sentence_text: str, tokens, bounds, bio
+    sentence_text: str, tokens, bounds, bio, mention_spans=None
 ) -> List[dict]:
     """Triple scan over an already-annotated sentence (shared by
     `extract_triples` and the Spark parse stage, which holds the
-    annotation arrays in hand)."""
-    mention_spans = bio_to_spans(bio, bounds)
+    annotation arrays in hand). ``mention_spans`` may be passed when
+    the caller already ran `bio_to_spans`."""
+    if mention_spans is None:
+        mention_spans = bio_to_spans(bio, bounds)
 
     # item sequence: mentions and predicate tokens ordered by start offset
     items: List[tuple] = []  # (start, end, kind, payload)

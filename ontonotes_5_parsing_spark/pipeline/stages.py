@@ -114,10 +114,12 @@ def _extract_parse_batches_impl(
                 spans = bio_to_spans(bio, bounds)
                 if coref:
                     triples = extract_triples_with_coref(
-                        sent, tokens, bounds, bio, state
+                        sent, tokens, bounds, bio, state, mention_spans=spans
                     )
                 else:
-                    triples = triples_from_annotation(sent, tokens, bounds, bio)
+                    triples = triples_from_annotation(
+                        sent, tokens, bounds, bio, mention_spans=spans
+                    )
                 out["url"].append(url)
                 out["sent_idx"].append(sent_idx)
                 out["text"].append(sent)

@@ -165,8 +165,97 @@ FROM events
 """
 
 
+# --- as-of join: each purchase ↔ most recent strictly-prior click -----------
+# The scale-path formulation: instead of a per-row range join (quadratic
+# within user), the two streams are UNIONed, shuffled ONCE by user_id,
+# sorted by (ts, kind, event_id), and the right side is carried forward
+# with last_value(ignoreNulls) — an O(n log n) single-shuffle as-of join.
+# kind orders purchases (0) before clicks (1) at equal ts, making the
+# match strictly-prior; ties among clicks at the same ts resolve to the
+# max event_id (the last in sort order), mirrored exactly in the oracle.
+def q_asof_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("b_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("b_id"),
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "b_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_click_id", F.last("b_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_click_id",
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       (SELECT c.event_id
+        FROM events c
+        WHERE c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND c.ts < p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+# --- range join: events banded into a value-interval dimension --------------
+# The broadcast range-join pattern: the tiny interval dim broadcasts and
+# the theta predicate (lo <= value < hi) evaluates map-side — no shuffle
+# of the fact table at all (at 100 TB the alternative, a shuffle range
+# join, only pays off when BOTH sides are large).
+VALUE_BANDS = [(0.0, 10.0, "micro"), (10.0, 50.0, "small"),
+               (50.0, 200.0, "medium"), (200.0, 1000.0, "large")]
+
+
+def q_range_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(VALUE_BANDS, ["lo", "hi", "band"])
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "left",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+         (50.0, 200.0, 'medium'), (200.0, 1000.0, 'large')
+)
+SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events LEFT JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 QUERIES = {
     "win_events_moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "evt_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "evt_range_join": (q_range_join, SQL_RANGE_JOIN),
     "evt_hourly_counts": (q_hourly_counts, SQL_HOURLY_COUNTS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "evt_top_users": (q_top_users, SQL_TOP_USERS),

@@ -16,7 +16,13 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-NEW_QUERIES = ["txt_langid", "dedup_embedding_cosine", "ann_ivf_topk"]
+NEW_QUERIES = [
+    "txt_langid",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "evt_asof_join",
+    "evt_range_join",
+]
 
 
 def _norm_hash(rows, columns):

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+from .lexicon import PREDICATE_VERBS
+
+_PREDICATES = frozenset(PREDICATE_VERBS)
+
 # pronoun surface → compatible antecedent entity types, in priority order
 PRONOUN_TYPES: Dict[str, Tuple[str, ...]] = {
     "He": ("PERSON",),
@@ -84,7 +88,6 @@ def extract_triples_with_coref(
     ``mention_spans`` (the `bio_to_spans` output) may be passed when the
     caller already computed it — e.g. the fused parse stage — to avoid
     a second run-length scan."""
-    from .lexicon import PREDICATE_VERBS
     from .ner import bio_to_spans
 
     if mention_spans is None:
@@ -97,9 +100,8 @@ def extract_triples_with_coref(
     ):
         items.append((start, end, "M", (surface, etype)))
     mention_token_idx = {i for i, tag in enumerate(bio) if tag != "O"}
-    predicates = frozenset(PREDICATE_VERBS)
     for i, tok in enumerate(tokens):
-        if i not in mention_token_idx and tok in predicates:
+        if i not in mention_token_idx and tok in _PREDICATES:
             s, e = bounds[i]
             items.append((s, e, "P", tok))
     items.sort()

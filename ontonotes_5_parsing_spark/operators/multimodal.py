@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..pipeline.media import audio_features, image_features, media_df
+from ..pipeline.media import (
+    audio_features,
+    image_features,
+    media_df,
+    sample_frames,
+)
 
 N_MEDIA = 120
 
@@ -17,6 +22,13 @@ def q_image_features(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     return audio_features(media_df(spark, N_MEDIA))
+
+
+def q_video_frames(spark, sf_dir):
+    """Frame-sample every video (1 row in → N frame rows out) and keep
+    per-frame features — the video analog of parse_document's UDTF
+    shape."""
+    return sample_frames(media_df(spark, N_MEDIA))
 
 
 def q_media_embedding_topk(spark, sf_dir):
@@ -52,5 +64,6 @@ def q_media_embedding_topk(spark, sf_dir):
 QUERIES = {
     "media_image_features": (q_image_features, None),
     "media_audio_features": (q_audio_features, None),
+    "media_video_frames": (q_video_frames, None),
     "media_embedding_topk": (q_media_embedding_topk, None),
 }

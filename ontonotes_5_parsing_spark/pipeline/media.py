@@ -26,12 +26,13 @@ from pyspark.sql import types as T
 
 _IMG_MAGIC = b"SIMG"
 _AUD_MAGIC = b"SAUD"
+_VID_MAGIC = b"SVID"
 
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
-        T.StructField("kind", T.StringType(), False),  # image | audio
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
         T.StructField("payload", T.BinaryType(), False),
         T.StructField("captured_ts", T.TimestampType(), True),
     ]
@@ -54,6 +55,18 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), False),
         T.StructField("n_samples", T.IntegerType(), False),
         T.StructField("rms", T.FloatType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_offset_sec", T.FloatType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_intensity", T.FloatType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -85,6 +98,32 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, channels, pixels
 
 
+def encode_video(
+    media_id: int, n_frames: int, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Grayscale frame stack: header (n_frames, w, h, fps) + frame bytes."""
+    rng = np.random.RandomState((media_id * 104729) % (2**31))
+    frames = rng.randint(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return (
+        _VID_MAGIC
+        + struct.pack("<IIII", n_frames, width, height, fps)
+        + frames.tobytes()
+    )
+
+
+def _decode_video_bytes(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    if payload[:4] != _VID_MAGIC:
+        raise NotImplementedError(
+            "real video decoding (ffmpeg/pyav) is stubbed in this container; "
+            "only the synthetic SVID codec is available"
+        )
+    n_frames, width, height, fps = struct.unpack("<IIII", payload[4:20])
+    frames = np.frombuffer(payload[20:], dtype=np.uint8).reshape(
+        n_frames, height, width
+    )
+    return n_frames, width, height, fps, frames
+
+
 def _decode_audio_bytes(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:4] != _AUD_MAGIC:
         raise NotImplementedError(
@@ -114,6 +153,11 @@ def media_df(spark: SparkSession, n_items: int, partitions: int | None = None) -
                 if mid % 3 == 0:
                     kind = "audio"
                     payload = encode_audio(mid, 16000, 2048 + (mid % 5) * 512)
+                elif mid % 6 == 5:
+                    kind = "video"
+                    payload = encode_video(
+                        mid, 8 + (mid % 3) * 4, 16 + (mid % 2) * 8, 12
+                    )
                 else:
                     kind = "image"
                     payload = encode_image(mid, 32 + (mid % 4) * 16, 24 + (mid % 3) * 8)
@@ -192,6 +236,40 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     return media.filter("kind = 'audio'").select("media_id", "payload").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling: decode each video, keep every k-th frame (plus
+    frame 0), emit one feature row per sampled frame — the UDTF-shaped
+    media op (1 video row → N frame rows through mapInPandas, Arrow
+    batching preserved across the explosion, same shape as the
+    parse_document stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames, width, height, fps, frames = _decode_video_bytes(
+                    bytes(payload)
+                )
+                for idx in range(0, n_frames, every_k):
+                    frame = frames[idx]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": idx,
+                            "ts_offset_sec": float(round(idx / fps, 4)),
+                            "width": width,
+                            "height": height,
+                            "mean_intensity": float(round(frame.mean(), 3)),
+                            "embedding": _embed(frame.ravel()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.filter("kind = 'video'").select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
     )
 
 

@@ -367,7 +367,45 @@ GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
 """
 
 
+# --- correlated scalar subquery (Catalyst decorrelation, TPC-H Q17-ish) ---
+# Written as genuine correlated SQL on the Spark side too: Catalyst
+# decorrelates it into an aggregate + join (no per-row re-execution),
+# which is exactly the rewrite the reference's nested loops would need
+# at scale. Per-brand so the result is a grouped table, not one row.
+def q_small_quantity_revenue(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               round(sum(l1.l_extendedprice), 2) AS revenue
+        FROM lineitem_sq l1 JOIN part_sq p ON l1.l_partkey = p.p_partkey
+        WHERE l1.l_quantity < 0.5 * (
+            SELECT avg(l2.l_quantity) FROM lineitem_sq l2
+            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT p.p_brand,
+       count(*) AS n_small,
+       round(sum(l1.l_extendedprice), 2) AS revenue
+FROM lineitem l1 JOIN part p ON l1.l_partkey = p.p_partkey
+WHERE l1.l_quantity < 0.5 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
+    "rel_small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
+    ),
     "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

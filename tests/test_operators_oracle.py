@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "ann_ivf_topk",
     "evt_asof_join",
     "evt_range_join",
+    "rel_small_quantity_revenue",
 ]
 
 

@@ -15,10 +15,12 @@ from .jobs import (
     stream_pages_to_triples,
     windowed_mention_counts,
     foreach_batch_pipeline,
+    stateful_entity_totals,
 )
 
 __all__ = [
     "stream_pages_to_triples",
     "windowed_mention_counts",
     "foreach_batch_pipeline",
+    "stateful_entity_totals",
 ]

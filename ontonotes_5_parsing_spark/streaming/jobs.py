@@ -93,6 +93,85 @@ def windowed_mention_counts(
     )
 
 
+ENTITY_STATE_OUTPUT = (
+    "ent_type string, n_total long, n_batches long, "
+    "first_epoch long, last_epoch long"
+)
+ENTITY_STATE_SCHEMA = (
+    "n_total long, n_batches long, first_epoch long, last_epoch long"
+)
+
+
+def stateful_entity_totals(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful operator via `applyInPandasWithState`: running
+    per-entity-type mention totals that survive micro-batch (and
+    restart) boundaries through the state store — the arbitrary-state
+    form that windowed aggregation can't express (the state here is a
+    running (count, batches, first/last event-time) tuple updated by
+    arbitrary Python, stand-in for e.g. cross-batch coref chains).
+    Emits one updated row per entity type per batch; returns the
+    started query (in-memory sink 'entity_totals')."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = read_pages_stream(spark, pages_dir)
+    # the lean parsed schema carries warc_ts through the UDF, so no
+    # stream-stream join is needed (disallowed in update mode anyway)
+    parsed = extract_parse_stage(pages, lean=True, coref=True)
+    with_ts = parsed.select(
+        F.explode("mention_spans").alias("m"),
+        F.unix_timestamp("warc_ts").alias("epoch"),
+    ).select(F.col("m.ent_type").alias("ent_type"), "epoch")
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        lo, hi = None, None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mn, mx = int(pdf["epoch"].min()), int(pdf["epoch"].max())
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        if state.exists:
+            total, batches, first, last = state.get
+        else:
+            total, batches, first, last = 0, 0, None, None
+        total += n
+        batches += 1
+        first = lo if first is None else (first if lo is None else min(first, lo))
+        last = hi if last is None else (last if hi is None else max(last, hi))
+        state.update((total, batches, first, last))
+        yield pd.DataFrame(
+            {
+                "ent_type": [key[0]],
+                "n_total": [total],
+                "n_batches": [batches],
+                "first_epoch": [first],
+                "last_epoch": [last],
+            }
+        )
+
+    totals = with_ts.groupBy("ent_type").applyInPandasWithState(
+        update,
+        ENTITY_STATE_OUTPUT,
+        ENTITY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.format("memory")
+        .queryName("entity_totals")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_pipeline(
     spark: SparkSession,
     pages_dir: str,

@@ -3,7 +3,7 @@
 import pytest
 
 from ontonotes_5_parsing_spark import corpus
-from ontonotes_5_parsing_spark.streaming import (
+from ontonotes_5_parsing_spark.streaming import (  # noqa: F401
     foreach_batch_pipeline,
     stream_pages_to_triples,
     windowed_mention_counts,
@@ -67,3 +67,45 @@ def test_foreach_batch_resume(spark, pages_dir, tmp_path):
     q2 = foreach_batch_pipeline(spark, pages_dir, work, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{work}/triples").count() == n1
+
+
+def test_stateful_entity_totals(spark, pages_dir, tmp_path):
+    """applyInPandasWithState: running totals must accumulate across
+    micro-batches through the state store (6 files at
+    maxFilesPerTrigger=4 → ≥2 batches), and the final per-type totals
+    must equal the batch pipeline's mention counts."""
+    from ontonotes_5_parsing_spark.streaming import stateful_entity_totals
+    from ontonotes_5_parsing_spark import corpus
+    from ontonotes_5_parsing_spark.pipeline.stages import (
+        extract_parse_stage,
+        mentions_from_parsed,
+    )
+
+    ckpt = str(tmp_path / "ckpt_state")
+    q = stateful_entity_totals(spark, pages_dir, ckpt)
+    q.awaitTermination(180)
+    rows = spark.sql("select * from entity_totals").collect()
+    assert rows
+    # update-mode memory sink keeps one row per (type, batch); the final
+    # state per type is the row with the max n_batches
+    final = {}
+    for r in rows:
+        cur = final.get(r.ent_type)
+        if cur is None or r.n_batches > cur.n_batches:
+            final[r.ent_type] = r
+    assert any(r.n_batches >= 2 for r in final.values())
+    pages = corpus.web_pages_df(spark, 60, partitions=6)
+    expected = {
+        r.ent_type: r.cnt
+        for r in mentions_from_parsed(
+            extract_parse_stage(pages, lean=True, coref=True)
+        )
+        .groupBy("ent_type")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    got = {t: r.n_total for t, r in final.items()}
+    assert got == expected
+    for r in final.values():
+        assert r.first_epoch <= r.last_epoch

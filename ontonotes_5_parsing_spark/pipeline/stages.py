@@ -84,11 +84,41 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
     )
 
 
+# Per-worker memo for the context-free part of sentence annotation
+# (tokenize → bounds → BIO → spans: a pure function of the sentence
+# text). Web corpora repeat boilerplate sentences heavily (~45% dup
+# rate on the bench corpus), so each long-lived Python worker pays the
+# kernel once per distinct sentence. Coref/triples stay per-document
+# (they depend on cross-sentence state) and consume the memoized
+# annotation read-only. Bounded to keep worker memory flat.
+_ANNOT_MEMO: dict = {}
+_ANNOT_MEMO_MAX = 250_000
+
+
+def _annotate_cached(sent: str):
+    from ..kgref.ner import bio_to_spans
+
+    hit = _ANNOT_MEMO.get(sent)
+    if hit is not None:
+        return hit
+    tokens = tokenize_any_text(sent)
+    if not tokens:
+        result = None
+    else:
+        bounds = get_token_bounds(sent, tokens)
+        bio = tag_bio(tokens)
+        spans = bio_to_spans(bio, bounds)
+        result = (tokens, bounds, bio, spans)
+    if len(_ANNOT_MEMO) >= _ANNOT_MEMO_MAX:
+        _ANNOT_MEMO.clear()
+    _ANNOT_MEMO[sent] = result
+    return result
+
+
 def _extract_parse_batches_impl(
     batches: Iterator[pd.DataFrame], lean: bool, coref: bool = False
 ) -> Iterator[pd.DataFrame]:
     from ..kgref.coref import CorefState, extract_triples_with_coref
-    from ..kgref.ner import bio_to_spans
     from ..kgref.triples import triples_from_annotation
 
     if lean:
@@ -106,12 +136,10 @@ def _extract_parse_batches_impl(
                 continue
             state = CorefState()  # per-document antecedent tracker
             for sent_idx, sent in enumerate(split_sentences(text)):
-                tokens = tokenize_any_text(sent)
-                if not tokens:
+                annot = _annotate_cached(sent)
+                if annot is None:
                     continue
-                bounds = get_token_bounds(sent, tokens)
-                bio = tag_bio(tokens)
-                spans = bio_to_spans(bio, bounds)
+                tokens, bounds, bio, spans = annot
                 if coref:
                     triples = extract_triples_with_coref(
                         sent, tokens, bounds, bio, state, mention_spans=spans

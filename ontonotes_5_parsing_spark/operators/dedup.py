@@ -13,6 +13,19 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _hash_fn(k: int):
+    """Unary lambda hashing with seed k. NOTE: the seed must be closed
+    over by a factory — a two-parameter `lambda t, k=k:` would have k
+    silently rebound to the ARRAY INDEX (PySpark passes (element, idx)
+    to binary transform lambdas), collapsing all "independent" hash
+    functions into one."""
+    return lambda t: F.xxhash64(t, F.lit(k))
+
+
+def _md5_fn(k: int):
+    return lambda t: F.md5(F.concat(t, F.lit(str(k))))
+
+
 def _docs(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -111,7 +124,7 @@ def q_minhash_buckets(spark, sf_dir):
     )
     minhashes = [
         F.array_min(
-            F.transform(F.col("toks"), lambda t, k=k: F.xxhash64(t, F.lit(k)))
+            F.transform(F.col("toks"), _hash_fn(k))
         ).alias(f"mh{k}")
         for k in range(N_HASHES)
     ]
@@ -135,6 +148,74 @@ def q_minhash_buckets(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- MinHash-LSH with an EXACT cross-engine oracle -------------------------
+# Same shingle→minhash→band→bucket pipeline as q_minhash_buckets, but the
+# hash family is md5 hex strings and "min" is lexicographic string min —
+# a valid MinHash (md5 is uniform over hex strings; byte-wise string
+# ordering is identical in Spark and DuckDB for ASCII hex), so the
+# bucket table is exactly reproducible in SQL. The xxhash64 variant
+# remains the fast scale path; this one is the verifiable form.
+MD5_HASHES = 6
+MD5_BAND = 2
+
+
+def q_minhash_md5_buckets(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("toks"), _md5_fn(k))
+        ).alias(f"mh{k}")
+        for k in range(MD5_HASHES)
+    ]
+    sig = docs.select("doc_id", *minhashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * MD5_BAND + j}") for j in range(MD5_BAND)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(MD5_HASHES // MD5_BAND)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.bh"
+    )
+    return (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_MH_COLS = ",\n         ".join(
+    f"list_min(list_transform(toks, t -> md5(t || '{k}'))) AS mh{k}"
+    for k in range(MD5_HASHES)
+)
+_BAND_ROWS = ", ".join(
+    f"({b}, md5(mh{b * MD5_BAND} || '|' || mh{b * MD5_BAND + 1}))"
+    for b in range(MD5_HASHES // MD5_BAND)
+)
+SQL_MINHASH_MD5 = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+), exploded AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (VALUES {_BAND_ROWS}) AS b(band, bh)
+)
+SELECT band, bh, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM exploded GROUP BY band, bh HAVING count(*) > 1
+"""
 
 
 # --- SimHash (64-bit) ------------------------------------------------------
@@ -233,5 +314,6 @@ QUERIES = {
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_minhash_buckets": (q_minhash_buckets, None),
+    "dedup_minhash_md5_buckets": (q_minhash_md5_buckets, SQL_MINHASH_MD5),
     "dedup_simhash": (q_simhash, None),
 }

@@ -61,10 +61,16 @@ def add_minhash_bands(vocab: DataFrame) -> DataFrame:
             f" i -> substring({padded}, i, {SHINGLE})))"
         ),
     )
+    def _hash_fn(k: int):
+        # unary-lambda factory: a `lambda s, k=k:` two-parameter form
+        # would have k rebound to the array index (PySpark passes
+        # (element, idx) to binary transform lambdas), collapsing all
+        # N_HASHES minhash functions into one and degenerating the LSH
+        # bands to a single blocking key
+        return lambda s: F.xxhash64(s, F.lit(k))
+
     minhashes = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, k=k: F.xxhash64(s, F.lit(k)))
-        ).alias(f"mh{k}")
+        F.array_min(F.transform(F.col("shingles"), _hash_fn(k))).alias(f"mh{k}")
         for k in range(N_HASHES)
     ]
     df = df.select("*", *minhashes)

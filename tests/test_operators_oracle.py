@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "evt_asof_join",
     "evt_range_join",
     "rel_small_quantity_revenue",
+    "dedup_minhash_md5_buckets",
 ]
 
 

@@ -109,9 +109,11 @@ def _annotate_cached(sent: str):
         bio = tag_bio(tokens)
         spans = bio_to_spans(bio, bounds)
         result = (tokens, bounds, bio, spans)
-    if len(_ANNOT_MEMO) >= _ANNOT_MEMO_MAX:
-        _ANNOT_MEMO.clear()
-    _ANNOT_MEMO[sent] = result
+    # when full, stop inserting but keep serving hits: boilerplate
+    # sentences recur early and often, so the resident set stays hot
+    # (a wholesale clear() would dump exactly those hot entries)
+    if len(_ANNOT_MEMO) < _ANNOT_MEMO_MAX:
+        _ANNOT_MEMO[sent] = result
     return result
 
 

@@ -84,37 +84,24 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
     )
 
 
-# Per-worker memo for the context-free part of sentence annotation
-# (tokenize → bounds → BIO → spans: a pure function of the sentence
-# text). Web corpora repeat boilerplate sentences heavily (~45% dup
-# rate on the bench corpus), so each long-lived Python worker pays the
-# kernel once per distinct sentence. Coref/triples stay per-document
-# (they depend on cross-sentence state) and consume the memoized
-# annotation read-only. Bounded to keep worker memory flat.
-_ANNOT_MEMO: dict = {}
-_ANNOT_MEMO_MAX = 250_000
-
-
-def _annotate_cached(sent: str):
+# NOTE on sentence-level memoization: a per-worker {sentence →
+# annotation} cache was tried here (the bench corpus repeats ~45% of
+# sentences) and REVERTED — at 100k pages the resident cache (250k
+# entries ≈ millions of long-lived small objects) costs more in Python
+# GC pressure than the ~45% kernel hits save (measured 3523 → 1929
+# pages/s single-process). Boilerplate dedup belongs UPSTREAM as a
+# relational groupBy-distinct over sentence hashes, not inside the
+# worker heap.
+def _annotate(sent: str):
     from ..kgref.ner import bio_to_spans
 
-    hit = _ANNOT_MEMO.get(sent)
-    if hit is not None:
-        return hit
     tokens = tokenize_any_text(sent)
     if not tokens:
-        result = None
-    else:
-        bounds = get_token_bounds(sent, tokens)
-        bio = tag_bio(tokens)
-        spans = bio_to_spans(bio, bounds)
-        result = (tokens, bounds, bio, spans)
-    # when full, stop inserting but keep serving hits: boilerplate
-    # sentences recur early and often, so the resident set stays hot
-    # (a wholesale clear() would dump exactly those hot entries)
-    if len(_ANNOT_MEMO) < _ANNOT_MEMO_MAX:
-        _ANNOT_MEMO[sent] = result
-    return result
+        return None
+    bounds = get_token_bounds(sent, tokens)
+    bio = tag_bio(tokens)
+    spans = bio_to_spans(bio, bounds)
+    return tokens, bounds, bio, spans
 
 
 def _extract_parse_batches_impl(
@@ -138,7 +125,7 @@ def _extract_parse_batches_impl(
                 continue
             state = CorefState()  # per-document antecedent tracker
             for sent_idx, sent in enumerate(split_sentences(text)):
-                annot = _annotate_cached(sent)
+                annot = _annotate(sent)
                 if annot is None:
                     continue
                 tokens, bounds, bio, spans = annot

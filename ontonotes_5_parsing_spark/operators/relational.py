@@ -173,6 +173,25 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_order_cube(spark, sf_dir):
+    """CUBE over (status, priority): all 2^2 grouping combinations —
+    completes the rollup / grouping-sets / cube analytics triad."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+SQL_ORDER_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --- semi/anti joins (E-ops, resume primitive §2.3) ----------------------
 def q_parts_never_ordered(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
@@ -412,6 +431,7 @@ QUERIES = {
     "rel_local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "rel_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "rel_order_rollup": (q_order_rollup, SQL_ORDER_ROLLUP),
+    "rel_order_cube": (q_order_cube, SQL_ORDER_CUBE),
     "rel_parts_never_ordered": (q_parts_never_ordered, SQL_PARTS_NEVER_ORDERED),
     "rel_customers_with_open_orders": (
         q_customers_with_open_orders,

@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "evt_range_join",
     "rel_small_quantity_revenue",
     "dedup_minhash_md5_buckets",
+    "rel_order_cube",
 ]
 
 

@@ -309,8 +309,67 @@ WHERE list_sum(list_transform(generate_series(1, 64),
 """
 
 
+# --- SimHash with an EXACT cross-engine oracle -----------------------------
+# Same vote-per-bit scheme as q_simhash but the per-token hash is the
+# first 15 hex chars of md5 (a 60-bit integer both engines can derive:
+# Spark conv(hex,16,10), DuckDB '0x…'::BIGINT), so the fingerprint is
+# exactly reproducible in SQL. 60 bits, always positive.
+SIMHASH_MD5_BITS = 60
+
+
+def q_simhash_md5(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    exploded = docs.select("doc_id", F.explode("toks").alias("token")).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"),
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_MD5_BITS)
+        ]
+    )
+    simhash = F.lit(0).cast("long")
+    for i in range(SIMHASH_MD5_BITS):
+        simhash = simhash.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+_VOTE_COLS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(SIMHASH_MD5_BITS)
+)
+_BIT_SUM = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_MD5_BITS)
+)
+SQL_SIMHASH_MD5 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {_VOTE_COLS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_BIT_SUM} AS simhash FROM votes
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_minhash_buckets": (q_minhash_buckets, None),

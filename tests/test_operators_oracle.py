@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "rel_small_quantity_revenue",
     "dedup_minhash_md5_buckets",
     "rel_order_cube",
+    "dedup_simhash_md5",
 ]
 
 

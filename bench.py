@@ -26,7 +26,7 @@ HEADLINE = [
     "txt_token_stats",
     "txt_vocab_reduce",
     "dedup_jaccard_pairs",
-    "dedup_minhash_buckets",
+    "dedup_minhash_md5_buckets",
     "ann_cosine_topk",
     "evt_sessionize",
 ]

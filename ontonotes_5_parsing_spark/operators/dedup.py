@@ -367,12 +367,16 @@ SELECT doc_id, {_BIT_SUM} AS simhash FROM votes
 """
 
 
+# The xxhash64 variants (q_minhash_buckets, q_simhash) are the documented
+# fast paths — same pipelines as the md5-oracled registry entries but with
+# the cheaper JVM hash. They are exercised by pytest (tests/test_dedup.py)
+# and kept OUT of the driver registry: they can only ever be rows-only
+# checks (xxhash64 has no DuckDB equivalent), and the registry slots are
+# better spent on hash-verifiable queries.
 QUERIES = {
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "dedup_minhash_buckets": (q_minhash_buckets, None),
     "dedup_minhash_md5_buckets": (q_minhash_md5_buckets, SQL_MINHASH_MD5),
-    "dedup_simhash": (q_simhash, None),
 }

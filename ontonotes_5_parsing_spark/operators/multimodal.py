@@ -1,6 +1,13 @@
 """Multimodal operator queries: binary media columns → typed features
-(rows-only checks; the synthetic codec is xxhash-free but the decode
-semantics have no SQL equivalent)."""
+(rows-only checks; the synthetic codec is deterministic but the decode
+semantics have no SQL equivalent).
+
+Driver-facing outputs carry NO array-typed columns: the internal API
+(pipeline.media) keeps `embedding: array<float>` for downstream ANN,
+but the correctness harness canonicalizes rows with pandas sort_values,
+which cannot hash list cells — so these queries project the array to a
+deterministic scalar digest (`md5(to_json(embedding))`) instead.
+"""
 
 from __future__ import annotations
 
@@ -16,19 +23,27 @@ from ..pipeline.media import (
 N_MEDIA = 120
 
 
+def _digest_embedding(df):
+    """Replace the array column with a deterministic scalar digest so
+    every remaining column is hashable by the driver's canonicalizer."""
+    return df.withColumn(
+        "emb_digest", F.md5(F.to_json(F.col("embedding")))
+    ).drop("embedding")
+
+
 def q_image_features(spark, sf_dir):
-    return image_features(media_df(spark, N_MEDIA))
+    return _digest_embedding(image_features(media_df(spark, N_MEDIA)))
 
 
 def q_audio_features(spark, sf_dir):
-    return audio_features(media_df(spark, N_MEDIA))
+    return _digest_embedding(audio_features(media_df(spark, N_MEDIA)))
 
 
 def q_video_frames(spark, sf_dir):
     """Frame-sample every video (1 row in → N frame rows out) and keep
     per-frame features — the video analog of parse_document's UDTF
     shape."""
-    return sample_frames(media_df(spark, N_MEDIA))
+    return _digest_embedding(sample_frames(media_df(spark, N_MEDIA)))
 
 
 def q_media_embedding_topk(spark, sf_dir):

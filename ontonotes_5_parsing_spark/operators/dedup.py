@@ -256,6 +256,7 @@ def q_simhash(spark, sf_dir):
 # At 100 TB the label blocking shards the O(n²) pair space into
 # shuffle-local per-cell pieces (co-partitioned join on the cell key).
 COS_THRESHOLD = 0.35
+from .similarity import EMB_DIM  # noqa: E402  (shared dot-product dimension)
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
@@ -301,7 +302,7 @@ WITH e AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cell
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_sum(list_transform(generate_series(1, 64),
+WHERE list_sum(list_transform(generate_series(1, {EMB_DIM}),
                               i -> a.emb[i] * b.emb[i]))
       / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
          * sqrt(list_sum(list_transform(b.emb, x -> x * x))))

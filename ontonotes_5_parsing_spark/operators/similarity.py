@@ -6,7 +6,9 @@ embedding: array<float>, label).
   computed from the unrounded cosine in both engines (any monotone
   variant agrees), so no float ever reaches the hash compare.
 - LSH-bucketed variant: random-hyperplane signatures → candidates only
-  inside matching buckets — the scale path (rows-only check).
+  inside matching buckets — the scale path. Oracle-checkable: the plane
+  coordinates are fixed 4-decimal rational literals both engines parse
+  to identical doubles.
 - per-label norm stats: float outputs, same formula both engines.
 """
 
@@ -18,6 +20,10 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 10
 TOP_K = 5
+# Embedding dimensionality, shared by the Spark plans AND every oracle
+# SQL f-string (a hard-coded "generate_series(1, 64)" would silently
+# truncate the dot product if the schema ever widened).
+EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str):
@@ -74,10 +80,16 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-# --- LSH-bucketed ANN (scale path; rows-only) ------------------------------
+# --- LSH-bucketed ANN (scale path) -----------------------------------------
+# The hyperplane coordinates are FIXED 4-decimal rational literals (seeded
+# numpy draw, rounded): both engines parse the identical decimal strings to
+# the identical nearest doubles, multiply against the float32 embeddings
+# promoted exactly to double, and fold the 64 products in the same order —
+# so the sign bits, and hence the bucket table, are exactly reproducible in
+# DuckDB. Output is int-only; no float reaches the hash compare.
 N_PLANES = 6
 _rng = np.random.RandomState(42)
-_PLANES = _rng.standard_normal((N_PLANES, 64)).round(4).tolist()
+_PLANES = _rng.standard_normal((N_PLANES, EMB_DIM)).round(4).tolist()
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
@@ -103,6 +115,30 @@ def q_ann_lsh_buckets(spark, sf_dir):
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    """Render one hyperplane as a DuckDB list literal with the exact same
+    decimal strings Python would print (repr of a round(4) float)."""
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+_SIG_TERMS = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),
+        i -> CAST(embedding[i] AS DOUBLE) * ({_plane_sql_literal(p)})[i])) > 0
+        THEN {1 << j} ELSE 0 END)"""
+    for j, p in enumerate(_PLANES)
+)
+SQL_ANN_LSH_BUCKETS = f"""
+WITH bucketed AS (
+  SELECT vec_id, label, {_SIG_TERMS} AS bucket
+  FROM embeddings
+)
+SELECT bucket, count(*) AS n_vecs,
+       count(DISTINCT label) AS n_labels,
+       min(vec_id) AS min_vec_id
+FROM bucketed GROUP BY bucket
+"""
 
 
 # --- IVF-style ANN: centroid assignment → per-cell search ------------------
@@ -180,7 +216,7 @@ WITH e AS (
   FROM embeddings
 ), dims AS (
   SELECT label, dim, avg(emb[dim]) AS v
-  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS dim) d
   GROUP BY label, dim
 ), cent AS (
   SELECT label, list(v ORDER BY dim) AS cv FROM dims GROUP BY label
@@ -189,7 +225,7 @@ WITH e AS (
 ), assign AS (
   SELECT query_id, qv, label AS cell,
          row_number() OVER (PARTITION BY query_id ORDER BY
-           list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+           list_sum(list_transform(generate_series(1, {EMB_DIM}), i -> qv[i] * cv[i]))
            / (sqrt(list_sum(list_transform(qv, x -> x * x)))
               * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
            label) AS rn
@@ -199,7 +235,7 @@ WITH e AS (
 ), ranked AS (
   SELECT p.query_id, p.cell, e.vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY p.query_id ORDER BY
-           list_sum(list_transform(generate_series(1, 64),
+           list_sum(list_transform(generate_series(1, {EMB_DIM}),
                                    i -> p.qv[i] * e.emb[i]))
            / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
               * sqrt(list_sum(list_transform(e.emb, x -> x * x)))) DESC,
@@ -241,7 +277,7 @@ FROM t GROUP BY label
 
 QUERIES = {
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ann_label_norm_stats": (q_label_norm_stats, SQL_LABEL_NORM_STATS),
 }

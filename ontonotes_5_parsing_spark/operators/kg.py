@@ -2,11 +2,20 @@
 
 Pages derive deterministically from the driver's `documents` table
 (corpus.web_pages_from_documents), so these run at whatever sf_dir the
-driver passes. Triple extraction / linking / canonicalization have no
-ANSI-SQL equivalent (iterative + UDF stages) → rows-only checks, except
-the mention-type histogram whose oracle is reproduced from the same
-deterministic corpus via a DuckDB-readable parquet? No — sentence
-parsing itself is non-SQL; all kg_* are rows-only.
+driver passes. Sentence parsing / triple extraction / linking are
+non-SQL (Arrow UDF + iterative stages), but their *downstream
+aggregations* are plain relational algebra — so the SQL-expressible
+tail gets real DuckDB oracles via parquet materialization: each oracle
+query first writes its non-SQL base table (mentions / linked / nodes+
+edges / routed-and-exploded annotations) to a deterministic parquet
+path, the Spark side re-reads THAT parquet, and the oracle SQL
+aggregates the same files. Both engines consume identical bytes, so
+the check verifies the aggregation semantics exactly (groupBy +
+countDistinct = A2 show_statistics.py:25-44; join/order/limit;
+min_by canonical pick = reduce_entities.py:111-113; ROLLUP = A7).
+
+Truly iterative steps (triple extraction itself, the reduce_entities
+rules loop) stay rows-only by design.
 
 Stage outputs are cached per (session, sf_dir) so the driver's separate
 query invocations share one pipeline run.
@@ -14,10 +23,23 @@ query invocations share one pipeline run.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_ORACLE_DONE: set[tuple[int, str]] = set()
+
+# The driver compares Spark vs DuckDB at sf0.01; the oracle SQL strings
+# are static, so they point at the sf0.01 materialization dir. The Spark
+# side derives the same path from whatever sf_dir it is handed.
+ORACLE_ROOT = "/tmp/kg_oracle"
+_ORACLE_SF = "sf0.01"
+
+
+def _oracle_dir(sf_dir: str) -> str:
+    return f"{ORACLE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -34,27 +56,107 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _CACHE[key]
 
 
+def _split_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed annotations flattened to (split, language, ent_type,
+    n_spans) — the SQL-typed input of the A7 rollup."""
+    from ..pipeline.dataset_io import route_splits
+    from ..pipeline.stages import annotations_stage
+
+    out = _pipeline(spark, sf_dir)
+    ann = annotations_stage(
+        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
+    )
+    return route_splits(ann).select(
+        "split",
+        F.col("lang").alias("language"),
+        F.explode("entities").alias("ent_type", "spans"),
+    ).select("split", "language", "ent_type", F.size("spans").alias("n_spans"))
+
+
+def _materialize_for_oracle(spark: SparkSession, sf_dir: str) -> str:
+    """Write the non-SQL base tables once per (session, sf_dir); the
+    oracle-backed kg_* queries aggregate these files in BOTH engines."""
+    key = (id(spark), sf_dir)
+    base = _oracle_dir(sf_dir)
+    if key in _ORACLE_DONE:
+        return base
+    out = _pipeline(spark, sf_dir)
+    out["mentions"].select("url", "sent_idx", "surface", "ent_type").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/mentions.parquet")
+    out["linked"].select(
+        "component", "surface", "ent_type", "n_mentions"
+    ).write.mode("overwrite").parquet(f"{base}/linked.parquet")
+    out["nodes"].write.mode("overwrite").parquet(f"{base}/nodes.parquet")
+    out["edges"].write.mode("overwrite").parquet(f"{base}/edges.parquet")
+    _split_exploded(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{base}/split_entities.parquet"
+    )
+    _ORACLE_DONE.add(key)
+    return base
+
+
 def q_kg_triples(spark, sf_dir):
     t = _pipeline(spark, sf_dir)["triples"]
     return t.select("url", "sent_idx", "subj", "pred", "obj", "subj_type", "obj_type")
 
 
 def q_kg_mention_type_counts(spark, sf_dir):
-    m = _pipeline(spark, sf_dir)["mentions"]
+    """A2 entity-frequency histogram (show_statistics.py:25-44) over the
+    materialized mentions table; DuckDB recomputes the same groupBy."""
+    base = _materialize_for_oracle(spark, sf_dir)
+    m = spark.read.parquet(f"{base}/mentions.parquet")
     return m.groupBy("ent_type").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("surface").alias("n_surfaces"),
     )
 
 
+SQL_KG_MENTION_TYPE_COUNTS = f"""
+SELECT ent_type, count(*) AS n_mentions,
+       count(DISTINCT surface) AS n_surfaces
+FROM '{ORACLE_ROOT}/{_ORACLE_SF}/mentions.parquet/*.parquet'
+GROUP BY ent_type
+"""
+
+
 def q_kg_nodes(spark, sf_dir):
-    return _pipeline(spark, sf_dir)["nodes"]
+    """Canonical-entity selection (reduce_entities.py:111-113: most
+    mentions, then min (length, value)) re-run over the materialized
+    linked table; DuckDB reproduces the min_by composite via a
+    row_number over the identical total ordering. entity_id (xxhash64,
+    no SQL equivalent) is deliberately not part of the driver surface —
+    `component` is the stable key both engines share."""
+    from ..pipeline.canonicalize import canonical_entities
+
+    base = _materialize_for_oracle(spark, sf_dir)
+    linked = spark.read.parquet(f"{base}/linked.parquet")
+    return canonical_entities(linked).select(
+        "component", "canonical", "ent_type", "n_mentions", "n_surfaces"
+    )
+
+
+SQL_KG_NODES = f"""
+WITH ranked AS (
+  SELECT component, surface, ent_type,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY n_mentions DESC, length(surface), surface, ent_type
+         ) AS rn,
+         sum(n_mentions) OVER (PARTITION BY component) AS total_mentions,
+         count(*) OVER (PARTITION BY component) AS n_surfaces
+  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/linked.parquet/*.parquet'
+)
+SELECT component, surface AS canonical, ent_type,
+       total_mentions AS n_mentions, n_surfaces
+FROM ranked WHERE rn = 1
+"""
 
 
 def q_kg_edges_top(spark, sf_dir):
-    out = _pipeline(spark, sf_dir)
-    nodes = out["nodes"].select(
-        F.col("entity_id"), F.col("canonical")
+    base = _materialize_for_oracle(spark, sf_dir)
+    nodes = spark.read.parquet(f"{base}/nodes.parquet").select(
+        "entity_id", "canonical"
     )
     src_names = nodes.withColumnRenamed("canonical", "src_name").withColumnRenamed(
         "entity_id", "src_entity_id"
@@ -63,13 +165,25 @@ def q_kg_edges_top(spark, sf_dir):
         "entity_id", "dst_entity_id"
     )
     return (
-        out["edges"]
+        spark.read.parquet(f"{base}/edges.parquet")
         .join(F.broadcast(src_names), "src_entity_id")
         .join(F.broadcast(dst_names), "dst_entity_id")
         .select("src_name", "pred", "dst_name", "n_evidence")
         .orderBy(F.desc("n_evidence"), "src_name", "pred", "dst_name")
         .limit(25)
     )
+
+
+SQL_KG_EDGES_TOP = f"""
+SELECT n1.canonical AS src_name, e.pred, n2.canonical AS dst_name, e.n_evidence
+FROM '{ORACLE_ROOT}/{_ORACLE_SF}/edges.parquet/*.parquet' e
+JOIN '{ORACLE_ROOT}/{_ORACLE_SF}/nodes.parquet/*.parquet' n1
+  ON n1.entity_id = e.src_entity_id
+JOIN '{ORACLE_ROOT}/{_ORACLE_SF}/nodes.parquet/*.parquet' n2
+  ON n2.entity_id = e.dst_entity_id
+ORDER BY e.n_evidence DESC, src_name, e.pred, dst_name
+LIMIT 25
+"""
 
 
 def q_kg_label_reduce(spark, sf_dir):
@@ -92,23 +206,29 @@ def q_kg_label_reduce(spark, sf_dir):
 
 
 def q_kg_split_rollup(spark, sf_dir):
-    """A7 rollup over routed annotations (rows-only)."""
-    from ..pipeline.dataset_io import route_splits
-    from ..pipeline.stages import annotations_stage
-    from ..pipeline.statistics import split_rollup
-
-    out = _pipeline(spark, sf_dir)
-    ann = annotations_stage(
-        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
+    """A7 rollup over routed annotations; DuckDB reproduces the null-
+    subtotal lattice with GROUP BY ROLLUP over the same parquet."""
+    base = _materialize_for_oracle(spark, sf_dir)
+    exploded = spark.read.parquet(f"{base}/split_entities.parquet")
+    return exploded.rollup("split", "language", "ent_type").agg(
+        F.count(F.lit(1)).alias("n_label_lists"),
+        F.sum("n_spans").alias("n_spans"),
     )
-    return split_rollup(route_splits(ann))
+
+
+SQL_KG_SPLIT_ROLLUP = f"""
+SELECT split, language, ent_type,
+       count(*) AS n_label_lists, sum(n_spans) AS n_spans
+FROM '{ORACLE_ROOT}/{_ORACLE_SF}/split_entities.parquet/*.parquet'
+GROUP BY ROLLUP (split, language, ent_type)
+"""
 
 
 QUERIES = {
     "kg_triples": (q_kg_triples, None),
-    "kg_mention_type_counts": (q_kg_mention_type_counts, None),
-    "kg_nodes": (q_kg_nodes, None),
-    "kg_edges_top": (q_kg_edges_top, None),
+    "kg_mention_type_counts": (q_kg_mention_type_counts, SQL_KG_MENTION_TYPE_COUNTS),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "kg_edges_top": (q_kg_edges_top, SQL_KG_EDGES_TOP),
     "kg_label_reduce": (q_kg_label_reduce, None),
-    "kg_split_rollup": (q_kg_split_rollup, None),
+    "kg_split_rollup": (q_kg_split_rollup, SQL_KG_SPLIT_ROLLUP),
 }

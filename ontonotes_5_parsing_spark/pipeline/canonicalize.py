@@ -21,7 +21,10 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
 
     Canonical = the member with the most mentions; ties broken by the
     reference's rule — min (length, value) (reduce_entities.py:111-113)
-    — giving a deterministic `min_by` over a composite struct.
+    — giving a deterministic `min_by` over a composite struct. ent_type
+    is the final tiebreaker so the ordering is TOTAL even when one
+    component holds the same surface under two entity types (otherwise
+    the pick would be engine/partitioning-dependent on exact ties).
     """
     per_component = linked.groupBy("component").agg(
         F.min_by(
@@ -30,6 +33,7 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
                 (-F.col("n_mentions")).alias("neg_freq"),
                 F.length("surface").alias("len"),
                 F.col("surface"),
+                F.col("ent_type"),
             ),
         ).alias("canon"),
         F.sum("n_mentions").alias("n_mentions"),

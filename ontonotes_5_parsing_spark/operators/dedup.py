@@ -51,45 +51,94 @@ FROM documents GROUP BY md5(text)
 
 
 # --- n-gram (token-set) Jaccard near-dup pairs ----------------------------
-# blocked by `source` (the natural blocking key), pairs a<b; jaccard
+# Same-source pairs a<b with jaccard >= JACCARD_THRESHOLD; jaccard
 # computed as |∩| / (|A|+|B|-|∩|) in BOTH engines so float arithmetic
 # is identical.
+#
+# Candidate generation is EXACT-RECALL prefix filtering (the AllPairs /
+# PPJoin family — Bayardo et al. WWW'07), not blocking: order each doc's
+# tokens by (global document frequency asc, token) and keep the first
+# |T| - ceil(τ·|T|) + 1 as the doc's prefix. J(A,B) ≥ τ implies
+# |A∩B| ≥ ceil(τ·max(|A|,|B|)), and two sets with that much overlap MUST
+# share a prefix token (pigeonhole on the canonical order) — so joining
+# on prefix tokens loses no qualifying pair and the exact Jaccard verify
+# on candidates reproduces the all-pairs answer bit-for-bit. At scale
+# this replaces the quadratic within-block self-join with token-keyed
+# equi-joins: prefixes hold the globally RAREST tokens, so the candidate
+# join has no hot keys, and every stage is linear in corpus size.
+JACCARD_THRESHOLD = 0.5
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    # Dictionary-encode the token sets as xxhash64 int64 arrays BEFORE the
-    # self-join (the standard shingle-encoding trick): set cardinalities —
-    # and hence every Jaccard value — are preserved (64-bit collisions are
-    # ~|A||B|/2^64 per pair, i.e. never), while per-pair intersection runs
-    # on longs instead of strings. Set sizes are materialized pre-join so
-    # the band predicate costs an int compare per pair, not a size() call.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.transform(
-            F.array_distinct(F.split(F.col("text"), " ")),
-            lambda t: F.xxhash64(t),
-        ).alias("toks"),
-    ).withColumn("n", F.size("toks"))
-    a = docs.alias("a")
-    b = docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    jac = inter / (F.col("a.n") + F.col("b.n") - inter)
-    # length-band prune: jaccard >= 0.5 implies |A| <= 2|B| and |B| <= 2|A|
-    # (i >= (|A|+|B|)/3 and i <= min), so the band filter loses nothing and
-    # skips the array_intersect for most pairs
-    return (
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("token"))
+    # global token document frequencies (token-keyed groupBy; at 100 TB
+    # this is a plain map-side-combined agg, no skew in the output)
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # canonical per-doc order = (df asc, token): prefixes hold the rarest
+    # tokens; any fixed total order preserves recall, rarity-first keeps
+    # the candidate join's key distribution cold
+    prefix_len = (F.floor(F.col("n") / 2) + F.lit(1)).cast("int")  # τ = 0.5
+    prefixes = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ordered"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            F.slice(
+                F.transform("ordered", lambda s: s["token"]), F.lit(1), prefix_len
+            ).alias("prefix"),
+        )
+    )
+    ptok = prefixes.select("doc_id", "source", "n", F.explode("prefix").alias("token"))
+    a, b = ptok.alias("a"), ptok.alias("b")
+    # candidates: share a prefix token + same source + length band
+    # (J >= 0.5 implies |A| <= 2|B| and |B| <= 2|A|, so the band loses
+    # nothing); dedup multi-token matches before the exact verify
+    cands = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n") <= 2 * F.col("b.n"))
             & (F.col("b.n") <= 2 * F.col("a.n")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on candidates only. Token sets are dictionary-encoded
+    # as xxhash64 int64 arrays (the standard shingle-encoding trick): set
+    # cardinalities — hence every Jaccard value — are preserved (64-bit
+    # collisions ~|A||B|/2^64 per pair, i.e. never) while the per-pair
+    # intersection runs on longs instead of strings.
+    hashed = docs.select(
+        "doc_id",
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("htoks"),
+        F.size("toks").alias("n"),
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("htoks").alias("ta"), F.col("n").alias("na")
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("htoks").alias("tb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 

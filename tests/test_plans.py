@@ -80,6 +80,30 @@ def test_salted_two_phase_aggregation_shape(spark):
     assert "pmod(xxhash64" in plan
 
 
+def test_jaccard_candidate_join_is_token_keyed(spark):
+    """The near-dup candidate join must be keyed on the prefix TOKEN
+    (AllPairs prefix filtering), never a within-`source`-block all-pairs
+    self-join: a single hot source block would make the old shape
+    quadratic at 100×. The equi-join keys of every join in the plan are
+    inspected — the candidate join is the one pairing two doc_ids, and
+    its key set must include token."""
+    from ontonotes_5_parsing_spark.operators.dedup import q_jaccard_pairs
+
+    plan = q_jaccard_pairs(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\b", ln)
+    ]
+    assert join_lines, "expected equi-joins in the jaccard plan"
+    # the candidate join carries the doc_id < doc_id condition; its
+    # equi-keys must include the prefix token, and must NOT be source-only
+    cand = [ln for ln in join_lines if "doc_id" in ln and "<" in ln]
+    assert cand, "candidate join (doc_id < doc_id) not found"
+    for ln in cand:
+        keys = re.search(r"\[([^\]]*)\], \[([^\]]*)\]", ln)
+        assert keys and "token" in keys.group(1), f"candidate join not token-keyed: {ln}"
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every driver query's physical plan: no unplanned cartesian
     product, and no row-at-a-time Python UDF (BatchEvalPython) — the

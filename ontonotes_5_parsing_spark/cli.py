@@ -12,14 +12,20 @@ Flag names/letters match the reference's argparse surface
 native: datasets are *directories* of split-partitioned JSON (a
 distributed sink cannot be one file), and the seeded shuffle is a
 keyed hash (`xxhash64(doc, sent, seed)`) so output is byte-stable at
-any parallelism (SURVEY.md §7 hard part 6).
+any parallelism (SURVEY.md §7 hard part 6). A third departure: when
+-r/--random is omitted, the reference shuffles UNSEEDED
+(ontonotes5_to_json.py:205-207); here the shuffle defaults to seed 42 —
+a keyed-hash sink has no "unseeded" mode, and a deterministic default
+makes re-runs reproducible by construction.
 """
 
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
+import shutil
 import sys
 import tarfile
 import tempfile
@@ -43,6 +49,11 @@ def _resolve_corpus(src: str) -> str:
         return src
     if src.endswith((".tgz", ".tar.gz", ".tar")):
         out = tempfile.mkdtemp(prefix="onf_corpus_")
+        # remove the extracted tree when the job process exits (the
+        # reference deletes its per-member temp spool files too,
+        # ontonotes5_to_json.py:97-104) — without this every .tgz
+        # invocation leaks a full corpus copy under /tmp
+        atexit.register(shutil.rmtree, out, True)
         with tarfile.open(src) as tf:
             tf.extractall(out, filter="data")
         return out

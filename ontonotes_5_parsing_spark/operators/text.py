@@ -187,11 +187,19 @@ def q_langid(spark, sf_dir):
     grams = docs.select(
         "doc_id",
         "lang",
+        # guard: for text shorter than 3 chars, F.sequence(1, len-2)
+        # would generate a DESCENDING sequence (start > stop) and emit
+        # spurious trigrams at zero/negative positions, while DuckDB's
+        # generate_series returns empty — emit an empty array so both
+        # engines agree (explode drops the row either way)
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
+            F.when(
+                F.length("text") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     w_prof = Window.partitionBy("lang").orderBy(F.desc("c"), "g")

@@ -146,6 +146,41 @@ def generate_pages(doc_ids: Iterable[int], seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame([generate_page(d, seed) for d in doc_ids])
 
 
+# Target rows per generation/parse task: ~100 ms of Python work per
+# task (generation ~22k pages/s/core, fused parse ~5k pages/s/core).
+# Fewer, fatter tasks amortize the per-task Python-worker roundtrip —
+# at 5k docs, 128 tasks of 39 docs measured 2.6× slower end-to-end than
+# 32 tasks of 156 docs, pure scheduling+Arrow overhead.
+_DOCS_PER_TASK = 512
+
+
+def _task_partitions(spark, n_rows: int) -> int:
+    """clamp(rows/_DOCS_PER_TASK, cores, 4×cores): one task wave at
+    small scale, bounded per-task memory + skew smoothing at large."""
+    cores = max(spark.sparkContext.defaultParallelism, 4)
+    want = max(1, -(-n_rows // _DOCS_PER_TASK))
+    return max(cores, min(want, cores * 4))
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from parquet footer metadata — driver-side, no Spark
+    job (the Iceberg analog is a snapshot's total-records property)."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — sizing hint only; fall back to 4×cores
+        return None
+
+
 def web_pages_df(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
     """Distributed generation: the *ids* are parallelized and each
     executor materializes its pages via `mapInPandas` — no driver-side
@@ -155,9 +190,7 @@ def web_pages_df(spark, n_pages: int, seed: int = 42, partitions: int | None = N
     from .pipeline.schemas import WEB_PAGES_SCHEMA
 
     if partitions is None:
-        # 4× cores: bounds per-task memory (pages are materialized a
-        # partition at a time) and smooths skewed task durations
-        partitions = max(spark.sparkContext.defaultParallelism * 4, 4)
+        partitions = _task_partitions(spark, n_pages)
     ids = spark.range(0, n_pages, 1, partitions).withColumnRenamed("id", "doc_id")
 
     def gen(batches):
@@ -179,8 +212,14 @@ def write_web_pages_parquet(spark, n_pages: int, path: str, seed: int = 42) -> N
 def read_web_pages(spark, path: str):
     """Read a materialized web_pages table, repartitioned for the Arrow
     UDF stages (html is ~3 KB/row; the default 128 MB scan splits give
-    far fewer partitions than cores)."""
-    parallelism = max(spark.sparkContext.defaultParallelism * 4, 4)
+    far fewer partitions than cores). Task count is sized from the
+    parquet footer row count — metadata only, no extra job."""
+    n = _parquet_num_rows(path)
+    parallelism = (
+        _task_partitions(spark, n)
+        if n is not None
+        else max(spark.sparkContext.defaultParallelism * 4, 4)
+    )
     return spark.read.parquet(path).repartition(parallelism)
 
 
@@ -194,10 +233,17 @@ def web_pages_from_documents(spark, sf_dir: str, seed: int = 42):
 
     # a single parquet file scans as ONE partition — repartition the ids
     # so page materialization (and every downstream Arrow UDF stage)
-    # parallelizes across the cluster
-    parallelism = max(spark.sparkContext.defaultParallelism * 4, 4)
+    # parallelizes across the cluster; task count sized from the parquet
+    # footer row count (metadata only, no extra job)
+    path = f"{sf_dir}/documents.parquet"
+    n = _parquet_num_rows(path)
+    parallelism = (
+        _task_partitions(spark, n)
+        if n is not None
+        else max(spark.sparkContext.defaultParallelism * 4, 4)
+    )
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(path)
         .select("doc_id")
         .repartition(parallelism, "doc_id")
     )

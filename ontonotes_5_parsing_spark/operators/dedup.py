@@ -99,11 +99,26 @@ def q_jaccard_pairs(spark, sf_dir):
             ).alias("prefix"),
         )
     )
-    ptok = prefixes.select("doc_id", "source", "n", F.explode("prefix").alias("token"))
+    ptok = prefixes.select(
+        "doc_id", "source", "n", F.posexplode("prefix").alias("p", "token")
+    )
     a, b = ptok.alias("a"), ptok.alias("b")
     # candidates: share a prefix token + same source + length band
     # (J >= 0.5 implies |A| <= 2|B| and |B| <= 2|A|, so the band loses
-    # nothing); dedup multi-token matches before the exact verify
+    # nothing); dedup multi-token matches before the exact verify.
+    #
+    # PPJoin positional filter (Xiao et al. WWW'08): a pair's FIRST
+    # common token in canonical order sits in both prefixes, and every
+    # other common token orders after it — so on that row the overlap is
+    # at most 1 + min(|A|-pa-1, |B|-pb-1) (0-based positions). J >= tau
+    # forces overlap >= ceil(tau/(1+tau)·(|A|+|B|)) = ceil((n_a+n_b)/3)
+    # at tau = 0.5 (exact integer form — no float-ceil boundary risk), so
+    # rows whose bound falls short can be dropped without losing the
+    # pair: its first-common-token row always survives.
+    alpha = F.floor((F.col("a.n") + F.col("b.n") + 2) / 3)
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
+    )
     cands = (
         a.join(
             b,
@@ -111,7 +126,8 @@ def q_jaccard_pairs(spark, sf_dir):
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n") <= 2 * F.col("b.n"))
-            & (F.col("b.n") <= 2 * F.col("a.n")),
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -79,6 +79,70 @@ def load_stage(spark: SparkSession, stage_dir: str) -> DataFrame:
     return spark.read.parquet(stage_dir)
 
 
+# --- Iceberg table sink (cluster path; parquet fallback in-sandbox) --------
+def _iceberg_catalogs_from(conf_items) -> list[str]:
+    """Catalog names among (key, value) conf pairs: a catalog is a
+    ``spark.sql.catalog.<name>`` entry (no deeper nesting — those are
+    catalog OPTIONS) whose value is an Iceberg catalog impl."""
+    out = []
+    for k, v in conf_items:
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in str(v).lower()
+        ):
+            out.append(k.rsplit(".", 1)[1])
+    return out
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs (spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog), read from the launch conf —
+    catalogs must be configured before the session starts. Empty in
+    this sandbox (no Iceberg runtime jar on the classpath)."""
+    return _iceberg_catalogs_from(spark.sparkContext.getConf().getAll())
+
+
+def materialize_iceberg(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    mode: str = "replace",
+) -> None:
+    """Materialize a stage as a partitioned Iceberg table — the
+    production sink of the north rule ("nodes/edges as partitioned
+    Iceberg tables"). `table` is a catalog-qualified name
+    (``catalog.db.stage``); per-partition lineage then comes from
+    Iceberg's own snapshot/manifest metadata instead of
+    ``_lineage.json``.
+
+    Raises RuntimeError with setup guidance when no Iceberg catalog is
+    configured (this sandbox): the caller (run_pipeline's checkpointed
+    path) uses the parquet + manifest fallback instead.
+    """
+    spark = df.sparkSession
+    catalog = table.split(".", 1)[0]
+    if catalog not in iceberg_catalogs(spark):
+        raise RuntimeError(
+            f"No Iceberg catalog {catalog!r} configured. Launch with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-..., "
+            f"--conf spark.sql.catalog.{catalog}="
+            "org.apache.iceberg.spark.SparkCatalog and a warehouse conf; "
+            "in this sandbox use lineage.materialize (parquet + manifest)."
+        )
+    writer = df.writeTo(table).using("iceberg")
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    if mode == "replace":
+        writer.createOrReplace()
+    elif mode == "append":
+        writer.append()
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+
 def resume_filter(input_df: DataFrame, done_dir: str, key: str = "url") -> DataFrame:
     """Rows of `input_df` not yet present in a completed stage output —
     the anti-join resume primitive (SURVEY.md §2.3)."""

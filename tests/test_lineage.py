@@ -45,3 +45,32 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
     m = lineage.read_manifest(os.path.join(work, "triples"))
     assert m["rows"] == out1["triples"].count()
     assert json.dumps(m["schema"])  # schema recorded
+
+
+def test_iceberg_sink_gated_with_guidance(spark):
+    """No Iceberg runtime in this sandbox: catalog discovery must be
+    empty and the table sink must fail fast with setup guidance (the
+    parquet+manifest path is the fallback, exercised above)."""
+    import pytest
+
+    from ontonotes_5_parsing_spark.pipeline import lineage
+
+    assert lineage.iceberg_catalogs(spark) == []
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        lineage.materialize_iceberg(df, "kg.db.nodes", ["id"])
+
+
+def test_iceberg_catalog_detection_logic():
+    """Detection keys on spark.sql.catalog.<name> entries whose value
+    is an Iceberg catalog impl; nested keys (catalog OPTIONS like
+    .warehouse) must not register as catalogs."""
+    from ontonotes_5_parsing_spark.pipeline.lineage import _iceberg_catalogs_from
+
+    items = [
+        ("spark.sql.catalog.kg", "org.apache.iceberg.spark.SparkCatalog"),
+        ("spark.sql.catalog.kg.warehouse", "/tmp/iceberg-wh"),
+        ("spark.sql.catalog.hive_cat", "org.apache.spark.sql.hive.SomeCatalog"),
+        ("spark.sql.shuffle.partitions", "32"),
+    ]
+    assert _iceberg_catalogs_from(items) == ["kg"]

@@ -1,15 +1,16 @@
-"""Deduplication operator family over `documents`: exact, n-gram
-Jaccard, MinHash-LSH, SimHash.
+"""Deduplication operator family over `documents`: exact (group stats +
+per-doc keeper verdicts), n-gram Jaccard (exact-recall prefix-filtered),
+MinHash-LSH, SimHash, embedding-cosine.
 
-Exact and Jaccard variants have DuckDB oracles (same formulas, same
-float arithmetic). MinHash/SimHash use Spark's xxhash64 — no DuckDB
-equivalent exists, so those are rows-only checks (noted in
-`__spark_entry__.oracle_sql`).
+Every registry entry is DuckDB-hash-checked: the MinHash/SimHash
+registry forms use md5-derived hashes both engines can compute; the
+xxhash64 variants (q_minhash_buckets, q_simhash) are kept as documented
+fast paths outside the registry (pytest-covered, never SQL-checkable).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -47,6 +48,32 @@ SELECT md5(text) AS fingerprint,
        count(*)  AS n_dups,
        min(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)
+"""
+
+
+# --- per-document keeper verdict ------------------------------------------
+# The APPLY side of exact dedup: one row per document with its keep/drop
+# verdict (keeper = min doc_id within the fingerprint group) — the
+# projection a training pipeline joins against to filter its corpus.
+# Shape at scale: a single window (one shuffle on the fingerprint key,
+# map-side-combinable) — no join back to the group table needed.
+def q_dedup_keep_first(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .withColumn(
+            "is_keeper",
+            (F.row_number().over(w) == 1).cast("int"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT doc_id, md5(text) AS fingerprint,
+       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            AS INT) AS is_keeper
+FROM documents
 """
 
 
@@ -441,6 +468,7 @@ SELECT doc_id, {_BIT_SUM} AS simhash FROM votes
 # better spent on hash-verifiable queries.
 QUERIES = {
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),

@@ -9,6 +9,8 @@ time) and every stage of the DAG is `foreachBatch`-compatible. Covered:
   (file/rate source → fused Arrow UDF stage → triples sink).
 - `windowed_mention_counts`: watermarked tumbling-window aggregation.
 - `foreach_batch_pipeline`: micro-batch driver reusing the batch DAG.
+- `streaming_dedup_pages`: watermark-bounded-state streaming exact
+  dedup (dropDuplicatesWithinWatermark).
 """
 
 from .jobs import (
@@ -16,6 +18,7 @@ from .jobs import (
     windowed_mention_counts,
     foreach_batch_pipeline,
     stateful_entity_totals,
+    streaming_dedup_pages,
 )
 
 __all__ = [
@@ -23,4 +26,5 @@ __all__ = [
     "windowed_mention_counts",
     "foreach_batch_pipeline",
     "stateful_entity_totals",
+    "streaming_dedup_pages",
 ]

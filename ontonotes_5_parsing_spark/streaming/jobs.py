@@ -197,3 +197,42 @@ def foreach_batch_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup: keep the first arrival of each page text
+    within the event-time watermark horizon.
+
+    `dropDuplicatesWithinWatermark` is the production shape for
+    continuous-ingest dedup at scale: state holds one entry per distinct
+    fingerprint seen inside the horizon and is EVICTED once the
+    watermark passes it, so state size is bounded by the dedup horizon
+    (unlike `dropDuplicates` on a stream, whose state grows without
+    bound — at 10^12 docs that unbounded state is fatal). Late
+    duplicates beyond the horizon are the documented recall trade —
+    the same trade the batch MinHash banding makes in
+    operators/dedup.py, surfaced as a watermark instead of a band count.
+    The fingerprint (md5 of extracted text) matches the batch
+    dedup_exact/dedup_keep_first operators, so a periodic batch sweep
+    over the accumulated table catches the long tail exactly.
+    """
+    pages = read_pages_stream(spark, pages_dir)
+    fingerprinted = pages.withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    ).withWatermark("warc_ts", watermark)
+    deduped = fingerprinted.dropDuplicatesWithinWatermark(["fingerprint"])
+    return (
+        deduped.select("url", "warc_ts", "fingerprint", "lang")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

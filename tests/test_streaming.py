@@ -109,3 +109,28 @@ def test_stateful_entity_totals(spark, pages_dir, tmp_path):
     assert got == expected
     for r in final.values():
         assert r.first_epoch <= r.last_epoch
+
+
+def test_streaming_dedup_pages(spark, pages_dir, tmp_path):
+    """Watermark-bounded streaming dedup must keep exactly one row per
+    distinct text fingerprint (all test pages share the ingest window,
+    so no horizon eviction applies) and agree with the batch keeper
+    count on the same pages."""
+    from pyspark.sql import functions as F
+
+    from ontonotes_5_parsing_spark.streaming import streaming_dedup_pages
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    q = streaming_dedup_pages(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_out = got.count()
+    assert got.select("fingerprint").distinct().count() == n_out
+    batch_distinct = (
+        corpus.web_pages_df(spark, 60)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n_out == batch_distinct

@@ -101,7 +101,11 @@ def test_jaccard_candidate_join_is_token_keyed(spark):
     assert cand, "candidate join (doc_id < doc_id) not found"
     for ln in cand:
         keys = re.search(r"\[([^\]]*)\], \[([^\]]*)\]", ln)
-        assert keys and "token" in keys.group(1), f"candidate join not token-keyed: {ln}"
+        # the prefix-token column is the hashed token `h` (xxhash64
+        # dictionary encoding); `token` accepted for the string form
+        assert keys and re.search(r"\b(h|token)#", keys.group(1)), (
+            f"candidate join not token-keyed: {ln}"
+        )
 
 
 def test_registry_wide_plan_hygiene(spark):

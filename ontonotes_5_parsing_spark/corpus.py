@@ -171,9 +171,12 @@ def _parquet_num_rows(path: str) -> int | None:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
+            # os.walk, not listdir: partitioned tables nest part files
+            # under key=value subdirectories
             return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
             )
         return pq.ParquetFile(path).metadata.num_rows

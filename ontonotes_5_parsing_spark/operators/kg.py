@@ -14,8 +14,9 @@ the check verifies the aggregation semantics exactly (groupBy +
 countDistinct = A2 show_statistics.py:25-44; join/order/limit;
 min_by canonical pick = reduce_entities.py:111-113; ROLLUP = A7).
 
-Truly iterative steps (triple extraction itself, the reduce_entities
-rules loop) stay rows-only by design.
+Only triple extraction itself (the Arrow-UDF parse) stays rows-only by
+design; even the reduce_entities rules are relational now
+(build_rules_df) and hash-verified via the same materialization trick.
 
 Stage outputs are cached per (session, sf_dir) so the driver's separate
 query invocations share one pipeline run.
@@ -91,6 +92,15 @@ def _materialize_for_oracle(spark: SparkSession, sf_dir: str) -> str:
     out["edges"].write.mode("overwrite").parquet(f"{base}/edges.parquet")
     _split_exploded(spark, sf_dir).write.mode("overwrite").parquet(
         f"{base}/split_entities.parquet"
+    )
+    from ..pipeline.reduce_labels import label_frequencies
+    from ..pipeline.stages import annotations_stage
+
+    ann = annotations_stage(
+        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
+    )
+    label_frequencies(ann).write.mode("overwrite").parquet(
+        f"{base}/label_freq.parquet"
     )
     _ORACLE_DONE.add(key)
     return base
@@ -186,23 +196,90 @@ LIMIT 25
 """
 
 
-def q_kg_label_reduce(spark, sf_dir):
-    """reduce_entities lifecycle over the corpus annotations: emits the
-    (label → canonical) rules table (rows-only; iterative + driver-side
-    nearest-label step is non-SQL)."""
-    from ..pipeline.reduce_labels import build_rules, label_frequencies
-    from ..pipeline.stages import annotations_stage
+N_LABEL_SEEDS = 6
 
-    out = _pipeline(spark, sf_dir)
-    ann = annotations_stage(
-        out["sentences"].select("url", "sent_idx", "text", "lang"), out["mentions"]
-    )
-    rules = build_rules(label_frequencies(ann), n_seeds=6)
-    if not rules:
-        return spark.createDataFrame([], "label string, canonical string")
-    return spark.createDataFrame(
-        sorted(rules.items()), ["label", "canonical"]
-    )
+
+def q_kg_label_reduce(spark, sf_dir):
+    """reduce_entities rules (label → canonical) in the fully relational
+    form (build_rules_df: seed ranking, nearest-seed assignment by the
+    hierarchical label distance, min-(len,label) canonical pick — all
+    DataFrame ops, no collect). DuckDB mirrors the entire chain —
+    including the distance's branch ladder and shared-prefix fold — over
+    the same materialized label-frequency parquet, so the rules are
+    hash-verified (reduce_entities.py:12-20,88-116 semantics, proven
+    equal to the reference loop in tests/test_reduce_labels.py)."""
+    from ..pipeline.reduce_labels import build_rules_df
+
+    base = _materialize_for_oracle(spark, sf_dir)
+    freq = spark.read.parquet(f"{base}/label_freq.parquet")
+    return build_rules_df(freq, n_seeds=N_LABEL_SEEDS)
+
+
+_LBL_SPLIT_SQL = r"[.+:\-=]"
+SQL_KG_LABEL_REDUCE = f"""
+WITH freq AS (
+  SELECT label, freq
+  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/label_freq.parquet/*.parquet'
+), ranked AS (
+  SELECT label, row_number() OVER (ORDER BY freq DESC, label) AS rank
+  FROM freq
+), seeds AS (
+  SELECT label AS seed, rank AS seed_rank FROM ranked WHERE rank <= 6
+), members AS (
+  SELECT label FROM ranked WHERE rank > 6
+), parts AS (
+  SELECT m.label, s.seed, s.seed_rank,
+         list_filter(list_transform(
+           regexp_split_to_array(s.seed, '{_LBL_SPLIT_SQL}'), x -> trim(x)),
+           x -> x <> '') AS p1,
+         list_filter(list_transform(
+           regexp_split_to_array(m.label, '{_LBL_SPLIT_SQL}'), x -> trim(x)),
+           x -> x <> '') AS p2
+  FROM members m CROSS JOIN seeds s
+), joined AS (
+  SELECT *, array_to_string(p1, '-') AS s1, array_to_string(p2, '-') AS s2,
+         coalesce(list_sum(list_transform(
+           generate_series(1, least(len(p1), len(p2))),
+           i -> CASE WHEN p1[1:i] = p2[1:i] THEN 1 ELSE 0 END)), 0) AS shared
+  FROM parts
+), dists AS (
+  SELECT label, seed, seed_rank,
+    CASE WHEN trim(seed) = trim(label) THEN 0
+         WHEN regexp_matches(seed, '\\w') <> regexp_matches(label, '\\w')
+           THEN (length(seed) + length(label)) * 10
+         WHEN len(p1) = 0 AND len(p2) = 0 THEN 0
+         WHEN len(p1) = 0 THEN length(s2) + 2
+         WHEN len(p2) = 0 THEN length(s1) + 2
+         WHEN s1 = s2 THEN 1
+         WHEN starts_with(s1, s2) OR starts_with(s2, s1) THEN 2
+         WHEN shared > 0 THEN levenshtein(
+             array_to_string(p1[shared + 1:len(p1)], '-'),
+             array_to_string(p2[shared + 1:len(p2)], '-')) + 2
+         ELSE levenshtein(s1, s2) * 10 + 2
+    END AS dist
+  FROM joined
+), assigned AS (
+  SELECT seed, label FROM (
+    SELECT seed, label,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY dist, seed_rank) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), clustered AS (
+  SELECT seed, label FROM assigned
+  UNION ALL
+  SELECT seed, seed AS label FROM seeds
+), canon AS (
+  SELECT seed, label AS canonical FROM (
+    SELECT seed, label,
+           row_number() OVER (PARTITION BY seed
+                              ORDER BY length(label), label) AS rn
+    FROM clustered
+  ) WHERE rn = 1
+)
+SELECT c.label, k.canonical
+FROM clustered c JOIN canon k USING (seed)
+"""
 
 
 def q_kg_split_rollup(spark, sf_dir):
@@ -229,6 +306,6 @@ QUERIES = {
     "kg_mention_type_counts": (q_kg_mention_type_counts, SQL_KG_MENTION_TYPE_COUNTS),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
     "kg_edges_top": (q_kg_edges_top, SQL_KG_EDGES_TOP),
-    "kg_label_reduce": (q_kg_label_reduce, None),
+    "kg_label_reduce": (q_kg_label_reduce, SQL_KG_LABEL_REDUCE),
     "kg_split_rollup": (q_kg_split_rollup, SQL_KG_SPLIT_ROLLUP),
 }

@@ -61,6 +61,109 @@ def build_rules(freq: DataFrame, n_seeds: int = 10) -> dict[str, str]:
     return rules
 
 
+_LABEL_SPLIT_RE = r"[.+:\-=]"
+
+
+def _distance_exprs(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Attach `dist` = label_distance(`a`, `b`) computed entirely with
+    built-in Column expressions — the relational twin of
+    kgref.distance.label_distance (same branch order, same values;
+    elementwise agreement asserted in tests/test_reduce_labels.py).
+    `a`/`b` keep the reference's (candidate, label) argument order."""
+    parts = (
+        lambda c: F.filter(
+            F.transform(F.split(F.col(c), _LABEL_SPLIT_RE), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    df = (
+        df.withColumn("_p1", parts(a))
+        .withColumn("_p2", parts(b))
+        .withColumn("_s1", F.array_join("_p1", "-"))
+        .withColumn("_s2", F.array_join("_p2", "-"))
+        .withColumn(
+            "_shared",
+            F.expr(
+                "aggregate(sequence(1, least(size(_p1), size(_p2))), 0, "
+                "(acc, i) -> acc + IF(slice(_p1, 1, i) = slice(_p2, 1, i), 1, 0))"
+            ),
+        )
+        .withColumn(
+            "_rest1",
+            F.expr("array_join(slice(_p1, _shared + 1, size(_p1) - _shared), '-')"),
+        )
+        .withColumn(
+            "_rest2",
+            F.expr("array_join(slice(_p2, _shared + 1, size(_p2) - _shared), '-')"),
+        )
+    )
+    la, lb = F.col(a), F.col(b)
+    dist = (
+        F.when(F.trim(la) == F.trim(lb), F.lit(0))
+        .when(
+            la.rlike(r"\w") != lb.rlike(r"\w"),
+            (F.length(la) + F.length(lb)) * 10,
+        )
+        .when((F.size("_p1") == 0) & (F.size("_p2") == 0), F.lit(0))
+        .when(F.size("_p1") == 0, F.length("_s2") + 2)
+        .when(F.size("_p2") == 0, F.length("_s1") + 2)
+        .when(F.col("_s1") == F.col("_s2"), F.lit(1))
+        .when(
+            F.col("_s1").startswith(F.col("_s2"))
+            | F.col("_s2").startswith(F.col("_s1")),
+            F.lit(2),
+        )
+        .when(
+            F.col("_shared") > 0,
+            F.levenshtein("_rest1", "_rest2") + 2,
+        )
+        .otherwise(F.levenshtein("_s1", "_s2") * 10 + 2)
+    )
+    return df.withColumn("dist", dist).drop(
+        "_p1", "_p2", "_s1", "_s2", "_shared", "_rest1", "_rest2"
+    )
+
+
+def build_rules_df(freq: DataFrame, n_seeds: int = 10) -> DataFrame:
+    """Relational build_rules: (label, canonical) rules as a DataFrame —
+    every step is a DataFrame op, no driver-side collect, so the rules
+    job scales with the label vocabulary even if an annotation scheme
+    ever stops being tiny. Semantics are byte-identical to build_rules
+    (tie-breaks included: nearest seed = min (dist, seed_rank), the
+    reference's first-wins loop; canonical = min (len, label) over the
+    cluster).
+    """
+    from pyspark.sql import Window
+
+    w_seed = Window.orderBy(F.desc("freq"), "label")
+    ranked = freq.withColumn("rank", F.row_number().over(w_seed))
+    seeds = ranked.filter(F.col("rank") <= n_seeds).select(
+        F.col("label").alias("seed"), F.col("rank").alias("seed_rank")
+    )
+    members = ranked.filter(F.col("rank") > n_seeds).select("label")
+    scored = _distance_exprs(
+        members.crossJoin(F.broadcast(seeds)), "seed", "label"
+    )
+    w_near = Window.partitionBy("label").orderBy("dist", "seed_rank")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") == 1)
+        .select("seed", "label")
+    )
+    clustered = assigned.unionByName(
+        seeds.select("seed", F.col("seed").alias("label"))
+    )
+    canon = clustered.groupBy("seed").agg(
+        F.min_by(
+            "label", F.struct(F.length("label").alias("len"), F.col("label"))
+        ).alias("canonical")
+    )
+    return (
+        clustered.join(canon, "seed")
+        .select("label", "canonical")
+    )
+
+
 def apply_rules(annotations: DataFrame, rules: dict[str, str]) -> DataFrame:
     """Rewrite the entities map through the rules, uniting span lists
     that collide on one new key — all map-side higher-order functions

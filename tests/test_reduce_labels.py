@@ -71,3 +71,55 @@ def test_reduce_labels_end_to_end(spark):
         labels_after |= set(r["entities"].keys())
     assert labels_after == set(rules.values())
     assert len(labels_after) <= 2
+
+
+def test_distance_exprs_match_kgref_elementwise(spark):
+    """The Column-expression label distance must agree with
+    kgref.distance.label_distance on vectors exercising every branch
+    (equal / alpha-mismatch / empty-parts / joined-equal / prefix /
+    shared-prefix / disjoint)."""
+    from ontonotes_5_parsing_spark.kgref.distance import label_distance
+    from ontonotes_5_parsing_spark.pipeline.reduce_labels import _distance_exprs
+
+    labels = [
+        "PERSON", "PERSON ", "ORG", "GPE", "NORP",
+        "PV+PVSUFF_SUBJ:2MP", "PV", "PP-TMP", "SBAR-PRD", "VBD", "WRB",
+        "DET+NOUN+CASE_DEF_GEN", "DET+NOUN+CASE_DEF_ACC",
+        "...", "-=-", "", "  ", "a.b.c", "a.b", "a.b.d", "x-y-z",
+        "123", "ABC-123", "+++", ":::", "A", "AB",
+    ]
+    pairs = [(a, b) for a in labels for b in labels]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r.a, r.b): r.dist
+        for r in _distance_exprs(df, "a", "b").collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == label_distance(a, b), (a, b, got[(a, b)])
+
+
+def test_build_rules_df_matches_driver_side(spark):
+    """Relational rules == the collect-based build_rules on synthetic
+    frequency tables that force non-seed assignment through every
+    distance regime."""
+    from ontonotes_5_parsing_spark.pipeline.reduce_labels import (
+        build_rules,
+        build_rules_df,
+    )
+
+    cases = [
+        # (rows, n_seeds)
+        ([("PERSON", 100), ("ORG", 90), ("GPE", 80), ("PERSON-X", 5),
+          ("ORG+SUB", 4), ("GPEX", 3), ("QQ-ZZ", 2)], 3),
+        ([("PV+PVSUFF_SUBJ:2MP", 50), ("PP-TMP", 40), ("SBAR-PRD", 30),
+          ("PV", 20), ("VBD", 10), ("WRB", 5), ("DET+NOUN", 2)], 2),
+        ([("A", 10)], 5),                       # fewer labels than seeds
+        ([("B", 7), ("A", 7), ("C", 7)], 1),    # freq ties -> label order
+    ]
+    for rows, n in cases:
+        freq = spark.createDataFrame(rows, "label string, freq long")
+        expected = build_rules(freq, n_seeds=n)
+        got = {
+            r.label: r.canonical for r in build_rules_df(freq, n_seeds=n).collect()
+        }
+        assert got == expected, (rows, n, got, expected)

@@ -165,7 +165,10 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 12
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 12,
+    driver_side_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Bounded label propagation: component = min vertex_id reachable.
 
@@ -200,7 +203,7 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
-    if n_edges <= 2_000_000:
+    if n_edges <= driver_side_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -95,3 +95,39 @@ def test_lsh_candidates_recall_known_aliases(spark, out):
     # obama aliases must be candidate-joined by at least one LSH band
     if any("barack obama" in fs for fs in accepted):
         assert frozenset(("barack obama", "obama")) in accepted
+
+
+def test_distributed_label_propagation_matches_union_find(spark):
+    """Force the distributed label-propagation fallback (the >2M-edge
+    path) by setting the driver-side threshold to 0 and assert it
+    reaches the identical component fixpoint as the union-find path on
+    graphs with chains, cycles, stars, and isolated vertices."""
+    from pyspark.sql import functions as F
+
+    from ontonotes_5_parsing_spark.pipeline.linking import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain
+            (10, 11), (11, 12), (12, 10),    # cycle
+            (20, 21), (20, 22), (20, 23),    # star
+            (30, 31),
+        ],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 10, 11, 12, 20, 21, 22, 23, 30, 31, 99]],
+        "vertex_id long",
+    )
+    uf = {
+        r.vertex_id: r.component
+        for r in connected_components(verts, edges).collect()
+    }
+    lp = {
+        r.vertex_id: r.component
+        for r in connected_components(
+            verts, edges, driver_side_max_edges=0
+        ).collect()
+    }
+    assert lp == uf
+    assert uf[4] == 1 and uf[12] == 10 and uf[23] == 20 and uf[99] == 99

@@ -131,3 +131,36 @@ def test_distributed_label_propagation_matches_union_find(spark):
     }
     assert lp == uf
     assert uf[4] == 1 and uf[12] == 10 and uf[23] == 20 and uf[99] == 99
+
+
+def test_salted_vocab_counts_exact_under_extreme_skew(spark):
+    """90%-hot-key mention distribution: the two-phase salted aggregation
+    must produce exactly the same counts as a plain groupBy (salting
+    must never change results, only the shuffle layout)."""
+    from pyspark.sql import functions as F
+
+    from ontonotes_5_parsing_spark.pipeline.linking import surface_vocab
+
+    n = 20_000
+    mentions = spark.range(n).select(
+        F.concat(F.lit("https://x/"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("sent_idx"),
+        F.when(F.col("id") % 10 < 9, "Hot Entity")
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 50).cast("string")))
+        .alias("surface"),
+        F.lit("ORG").alias("ent_type"),
+        F.lit(0).alias("start"),
+        F.lit(10).alias("end"),
+    )
+    got = {
+        (r.surface, r.ent_type): r.n_mentions
+        for r in surface_vocab(mentions).collect()
+    }
+    expected = {
+        (r.surface, r.ent_type): r.cnt
+        for r in mentions.groupBy("surface", "ent_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    assert got[("Hot Entity", "ORG")] == 18_000

@@ -134,3 +134,14 @@ def test_streaming_dedup_pages(spark, pages_dir, tmp_path):
         .count()
     )
     assert n_out == batch_distinct
+    # bounded-state evidence from the operator's own metrics: the
+    # dedup state holds at most one row per distinct fingerprint
+    # (never one per input row) — the property that keeps state
+    # horizon-bounded under continuous ingest
+    state_totals = [
+        so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+        if so.get("operatorName") == "dedupeWithinWatermark"
+    ]
+    assert state_totals and max(state_totals) <= batch_distinct

@@ -66,6 +66,18 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        # the driver canonicalizes with pandas sort_values over every
+        # column — array/map/struct cells crash it (round-1 media bug),
+        # EVEN on rows-only checks. Catch that class locally.
+        complex_cols = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(f"FAIL  {name}: complex-typed driver-facing columns "
+                  f"{complex_cols} (driver canonicalizer cannot hash them)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check) "
                   f"[{time.time()-t0:.1f}s]")

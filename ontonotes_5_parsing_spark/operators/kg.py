@@ -216,17 +216,27 @@ def q_kg_label_reduce(spark, sf_dir):
 
 
 _LBL_SPLIT_SQL = r"[.+:\-=]"
-SQL_KG_LABEL_REDUCE = f"""
+
+
+def duckdb_label_rules_sql(freq_source: str, n_seeds: int) -> str:
+    """DuckDB SQL computing the (label, canonical) rules from any
+    FROM-able relation with columns (label, freq) — shared by the
+    driver oracle below and by tests/test_reduce_labels.py, which runs
+    it over adversarial label sets and asserts equality with the
+    kgref reference loop (so the distance branch ladder and the
+    shared-prefix fold are validated cross-engine even though the
+    bench corpus's label set is seed-only)."""
+    return f"""
 WITH freq AS (
   SELECT label, freq
-  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/label_freq.parquet/*.parquet'
+  FROM {freq_source}
 ), ranked AS (
   SELECT label, row_number() OVER (ORDER BY freq DESC, label) AS rank
   FROM freq
 ), seeds AS (
-  SELECT label AS seed, rank AS seed_rank FROM ranked WHERE rank <= 6
+  SELECT label AS seed, rank AS seed_rank FROM ranked WHERE rank <= {n_seeds}
 ), members AS (
-  SELECT label FROM ranked WHERE rank > 6
+  SELECT label FROM ranked WHERE rank > {n_seeds}
 ), parts AS (
   SELECT m.label, s.seed, s.seed_rank,
          list_filter(list_transform(
@@ -280,6 +290,11 @@ WITH freq AS (
 SELECT c.label, k.canonical
 FROM clustered c JOIN canon k USING (seed)
 """
+
+
+SQL_KG_LABEL_REDUCE = duckdb_label_rules_sql(
+    f"'{ORACLE_ROOT}/{_ORACLE_SF}/label_freq.parquet/*.parquet'", N_LABEL_SEEDS
+)
 
 
 def q_kg_split_rollup(spark, sf_dir):

@@ -123,3 +123,47 @@ def test_build_rules_df_matches_driver_side(spark):
             r.label: r.canonical for r in build_rules_df(freq, n_seeds=n).collect()
         }
         assert got == expected, (rows, n, got, expected)
+
+
+def test_duckdb_rules_sql_matches_driver_side():
+    """The DuckDB oracle's distance ladder + shared-prefix fold must
+    reproduce the kgref reference loop on adversarial label sets — the
+    bench corpus's label set is seed-only, so this is the only place
+    the SQL's distance branches are exercised."""
+    import duckdb
+
+    from ontonotes_5_parsing_spark.operators.kg import duckdb_label_rules_sql
+    from ontonotes_5_parsing_spark.pipeline.reduce_labels import build_rules
+
+    class _FakeFreq:
+        """Minimal freq 'DataFrame' for build_rules (orderBy+collect)."""
+
+        def __init__(self, rows):
+            self.rows = rows
+
+        def orderBy(self, *_):
+            ordered = sorted(self.rows, key=lambda r: (-r[1], r[0]))
+            return type(
+                "C", (), {"collect": lambda _self: [
+                    {"label": lbl, "freq": fq} for lbl, fq in ordered
+                ]}
+            )()
+
+    cases = [
+        ([("PERSON", 100), ("ORG", 90), ("GPE", 80), ("PERSON-X", 5),
+          ("ORG+SUB", 4), ("GPEX", 3), ("QQ-ZZ", 2)], 3),
+        ([("PV+PVSUFF_SUBJ:2MP", 50), ("PP-TMP", 40), ("SBAR-PRD", 30),
+          ("PV", 20), ("VBD", 10), ("WRB", 5), ("DET+NOUN", 2)], 2),
+        ([("A", 10)], 5),
+        ([("B", 7), ("A", 7), ("C", 7)], 1),
+        ([("PERSON", 9), ("123", 8), ("ABC-123", 3), ("456", 2),
+          ("a.b.c", 1), ("a.b.d", 1)], 2),
+    ]
+    con = duckdb.connect()
+    for rows, n in cases:
+        expected = build_rules(_FakeFreq(rows), n_seeds=n)
+        con.execute("DROP TABLE IF EXISTS lf")
+        con.execute("CREATE TABLE lf(label VARCHAR, freq BIGINT)")
+        con.executemany("INSERT INTO lf VALUES (?, ?)", rows)
+        got = dict(con.execute(duckdb_label_rules_sql("lf", n)).fetchall())
+        assert got == expected, (rows, n, got, expected)

@@ -186,11 +186,6 @@ def connected_components(
     shuffle.partitions-many near-empty ones.
     """
     spark = vertices.sparkSession
-    n_vertices = vertices.count()
-    if n_vertices == 0:
-        return vertices.select(
-            "vertex_id", F.col("vertex_id").alias("component")
-        )
 
     # Hybrid strategy, mirroring the reference's collect boundary for its
     # tiny global clustering step (reduce_entities.py:88-116, SURVEY.md
@@ -200,10 +195,20 @@ def connected_components(
     # broadcast-join replaces ~40 scheduler-bound iterative stages. The
     # distributed label-propagation loop below remains the fallback for
     # genuinely huge vocabularies.
-    n_edges = edges.count()
-    if n_edges == 0:
+    #
+    # ONE bounded action decides the branch AND fetches the edges: a
+    # limit(max+1) collect replaces the previous vertices.count() +
+    # edges.count() + edges.collect() triple — per-job scheduling is the
+    # dominant cost of this stage at small scale, so the common path now
+    # pays one job instead of three before the final join.
+    edge_rows = (
+        edges.select("src", "dst").limit(driver_side_max_edges + 1).collect()
+        if driver_side_max_edges >= 0
+        else []
+    )
+    if driver_side_max_edges >= 0 and len(edge_rows) == 0:
         return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
-    if n_edges <= driver_side_max_edges:
+    if 0 < len(edge_rows) <= driver_side_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -214,7 +219,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.select("src", "dst").collect():
+        for row in edge_rows:
             ra, rb = find(row.src), find(row.dst)
             if ra != rb:
                 # min root wins → component id = min vertex_id, matching
@@ -235,6 +240,11 @@ def connected_components(
             )
         )
 
+    # the vertex count is only needed to size the iterative loop's
+    # partitioning — pay for it on the distributed branch only
+    n_vertices = vertices.count()
+    if n_vertices == 0:
+        return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(n_vertices // 100_000 + 1, max_parts))
 

@@ -196,19 +196,18 @@ def connected_components(
     # distributed label-propagation loop below remains the fallback for
     # genuinely huge vocabularies.
     #
-    # ONE bounded action decides the branch AND fetches the edges: a
-    # limit(max+1) collect replaces the previous vertices.count() +
-    # edges.count() + edges.collect() triple — per-job scheduling is the
-    # dominant cost of this stage at small scale, so the common path now
-    # pays one job instead of three before the final join.
-    edge_rows = (
-        edges.select("src", "dst").limit(driver_side_max_edges + 1).collect()
-        if driver_side_max_edges >= 0
-        else []
-    )
-    if driver_side_max_edges >= 0 and len(edge_rows) == 0:
+    # The branch decision costs one count over the (persisted) pairs;
+    # the former extra vertices.count() is deferred to the distributed
+    # branch that actually needs it. NOTE: a limit(max+1).collect()
+    # "single action" variant was tried and reverted — when total rows
+    # stay under the limit (the common case), CollectLimitExec scans
+    # partitions in sequential scale-up rounds and is strictly slower
+    # than count + collect.
+    n_edges = edges.count()
+    if n_edges == 0:
         return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
-    if 0 < len(edge_rows) <= driver_side_max_edges:
+    if n_edges <= driver_side_max_edges:
+        edge_rows = edges.select("src", "dst").collect()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -252,8 +252,85 @@ GROUP BY band
 """
 
 
+# --- semi-structured JSON property extraction -------------------------------
+# `props` is a JSON string column (the engine treats web-page metadata the
+# same way); extraction stays JVM-side via get_json_object — at 100 TB a
+# map-only scan, with the aggregate shuffling only (event_type) groups.
+def q_json_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       count(*)                                              AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- day-over-day user retention --------------------------------------------
+# Cohort analytics: distinct active users per day, joined to the next
+# day's actives. Both sides are the same distinct-(day, user) aggregate;
+# at scale this is one shuffle on user_id (the join key) over a table
+# already reduced to |users|×|days| rows.
+def q_daily_retention(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    nxt = daily.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("user_id").alias("r_user"),
+    )
+    joined = daily.alias("d").join(
+        nxt.alias("n"),
+        (F.col("d.day") == F.col("n.day")) & (F.col("d.user_id") == F.col("n.r_user")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.unix_timestamp(F.col("d.day")).alias("day_epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("r_user").alias("n_retained"),
+            F.round(F.count("r_user") / F.count(F.lit(1)), 4).alias("retention"),
+        )
+    )
+
+
+SQL_DAILY_RETENTION = """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), nxt AS (
+  SELECT day - INTERVAL 1 DAY AS day, user_id AS r_user FROM daily
+)
+SELECT CAST(epoch(daily.day) AS BIGINT) AS day_epoch,
+       count(*)                          AS n_users,
+       count(r_user)                     AS n_retained,
+       round(count(r_user) / count(*), 4) AS retention
+FROM daily LEFT JOIN nxt ON daily.day = nxt.day AND daily.user_id = nxt.r_user
+GROUP BY daily.day
+"""
+
+
 QUERIES = {
     "win_events_moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "evt_json_props": (q_json_props, SQL_JSON_PROPS),
+    "evt_daily_retention": (q_daily_retention, SQL_DAILY_RETENTION),
     "evt_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "evt_range_join": (q_range_join, SQL_RANGE_JOIN),
     "evt_hourly_counts": (q_hourly_counts, SQL_HOURLY_COUNTS),

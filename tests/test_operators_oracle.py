@@ -26,6 +26,14 @@ NEW_QUERIES = [
     "dedup_minhash_md5_buckets",
     "rel_order_cube",
     "dedup_simhash_md5",
+    # round-2 LLM-ingest quality family + events additions
+    "txt_quality_filter",
+    "txt_repetition",
+    "txt_ngram_topk",
+    "txt_tfidf_top_terms",
+    "txt_bpe_tokens",
+    "evt_json_props",
+    "evt_daily_retention",
 ]
 
 

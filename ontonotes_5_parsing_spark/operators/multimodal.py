@@ -1,12 +1,20 @@
-"""Multimodal operator queries: binary media columns → typed features
-(rows-only checks; the synthetic codec is deterministic but the decode
-semantics have no SQL equivalent).
+"""Multimodal operator queries: binary media columns → typed features.
 
-Driver-facing outputs carry NO array-typed columns: the internal API
-(pipeline.media) keeps `embedding: array<float>` for downstream ANN,
-but the correctness harness canonicalizes rows with pandas sort_values,
-which cannot hash list cells — so these queries project the array to a
-deterministic scalar digest (`md5(to_json(embedding))`) instead.
+All four queries are DuckDB-hash-checked. The synthetic payloads are
+Mersenne-Twister-generated (not SQL-reproducible), so the raw media
+table (media_id, kind, payload) is materialized ONCE to parquet and
+both engines start from the same bytes — then the oracle *decodes the
+payload independently in SQL* (hex-parse of the little-endian headers
+and per-byte sums), so the Spark-side numpy decode is genuinely
+cross-checked, not echoed.
+
+Driver-facing outputs carry no array columns and no float32-derived
+values: floats at the driver boundary are doubles recomputed
+relationally from the exact integer aggregates (px_sum / sq_sum) the
+UDFs emit, because a float32 roundtrip perturbs the 6th decimal the
+driver's value hash formats. The embedding arrays stay in the internal
+API (pipeline.media) and are hash-verified end-to-end by
+media_embedding_topk via the materialized-features parquet.
 """
 
 from __future__ import annotations
@@ -24,48 +32,176 @@ from ..pipeline.media import (
 
 N_MEDIA = 120
 
-# Decode output materialized once per session so the embedding-ANN query
-# gets a real DuckDB oracle: the decode itself is non-SQL (synthetic
-# codec inside mapInPandas), but the downstream cosine top-k is plain
-# math — both engines read the SAME materialized features parquet, so
-# the oracle verifies the ranking semantics exactly (the kg.py pattern).
 MEDIA_ORACLE_ROOT = "/tmp/media_oracle"
 _MEDIA_ORACLE_SF = "sf0.01"
 _MEDIA_DONE: set = set()
 
 
-def _image_features_parquet(spark, sf_dir: str) -> str:
+def _materialize_media(spark, sf_dir: str) -> str:
+    """Write the raw media table + decoded image features to parquet
+    once per session; every media query (Spark and DuckDB) reads from
+    these files so both engines see identical payload bytes."""
     base = f"{MEDIA_ORACLE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
     key = (id(spark), base)
     if key not in _MEDIA_DONE:
-        image_features(media_df(spark, N_MEDIA)).select(
-            "media_id", "embedding"
-        ).write.mode("overwrite").parquet(f"{base}/image_features.parquet")
+        media = media_df(spark, N_MEDIA).persist()
+        media.select("media_id", "kind", "payload").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/media.parquet")
+        image_features(media).select("media_id", "embedding").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/image_features.parquet")
+        media.unpersist()
         _MEDIA_DONE.add(key)
     return base
 
 
-def _digest_embedding(df):
-    """Replace the array column with a deterministic scalar digest so
-    every remaining column is hashable by the driver's canonicalizer."""
-    return df.withColumn(
-        "emb_digest", F.md5(F.to_json(F.col("embedding")))
-    ).drop("embedding")
+def _media(spark, sf_dir: str):
+    base = _materialize_media(spark, sf_dir)
+    return spark.read.parquet(f"{base}/media.parquet")
+
+
+# --- SQL codec: hex-parse the synthetic container formats ------------------
+def _byte(i: str) -> str:
+    """1-based byte i of the payload, via the hex projection `hx`."""
+    return f"('0x' || substr(hx, 2*({i})-1, 2))::BIGINT"
+
+
+def _u32le(off: int) -> str:
+    """Little-endian uint32 at 1-based byte offset `off`."""
+    return " + ".join(
+        f"{1 << (8 * j)}*{_byte(str(off + j))}" for j in range(4)
+    )
 
 
 def q_image_features(spark, sf_dir):
-    return _digest_embedding(image_features(media_df(spark, N_MEDIA)))
+    """Decode + feature-extract images; driver projection is header
+    metadata + exact pixel-sum aggregates + a double mean derived from
+    them (BIGINT division → bit-identical across engines)."""
+    feats = image_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "n_px",
+        F.round(F.col("px_sum") / F.col("n_px"), 4).alias("mean_px"),
+    )
+
+
+SQL_IMAGE_FEATURES = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM '{MEDIA_ORACLE_ROOT}/{_MEDIA_ORACLE_SF}/media.parquet/*.parquet'
+  WHERE kind = 'image'
+), hdr AS (
+  SELECT media_id, hx, n,
+         {_u32le(5)} AS width,
+         {_u32le(9)} AS height,
+         {_u32le(13)} AS n_channels
+  FROM m
+)
+SELECT media_id, width, height, n_channels,
+       list_sum(list_transform(generate_series(17, n),
+                               i -> {_byte('i')}))::BIGINT AS px_sum,
+       (n - 16)::BIGINT                                    AS n_px,
+       round(list_sum(list_transform(generate_series(17, n),
+                                     i -> {_byte('i')}))::BIGINT
+             / (n - 16), 4)                                AS mean_px
+FROM hdr
+"""
 
 
 def q_audio_features(spark, sf_dir):
-    return _digest_embedding(audio_features(media_df(spark, N_MEDIA)))
+    """Decode audio; rms is recomputed as a double from the exact
+    int64 sum of squares (identical IEEE ops in both engines)."""
+    feats = audio_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "sq_sum",
+        F.round(F.sqrt(F.col("sq_sum") / F.col("n_samples")), 3).alias("rms"),
+    )
+
+
+SQL_AUDIO_FEATURES = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM '{MEDIA_ORACLE_ROOT}/{_MEDIA_ORACLE_SF}/media.parquet/*.parquet'
+  WHERE kind = 'audio'
+), hdr AS (
+  SELECT media_id, hx,
+         {_u32le(5)} AS sample_rate,
+         {_u32le(9)} AS n_samples
+  FROM m
+), sq AS (
+  SELECT media_id, sample_rate, n_samples,
+         -- int16 LE at sample s (0-based): bytes 13+2s, 14+2s; sign-fold
+         list_sum(list_transform(generate_series(0, n_samples - 1), s ->
+           CASE WHEN {_byte('14+2*s')} >= 128
+                THEN ({_byte('13+2*s')} + 256*{_byte('14+2*s')} - 65536)
+                     * ({_byte('13+2*s')} + 256*{_byte('14+2*s')} - 65536)
+                ELSE ({_byte('13+2*s')} + 256*{_byte('14+2*s')})
+                     * ({_byte('13+2*s')} + 256*{_byte('14+2*s')})
+           END))::BIGINT AS sq_sum
+  FROM hdr
+)
+SELECT media_id, sample_rate, n_samples, sq_sum,
+       round(sqrt(sq_sum / n_samples), 3) AS rms
+FROM sq
+"""
 
 
 def q_video_frames(spark, sf_dir):
-    """Frame-sample every video (1 row in → N frame rows out) and keep
-    per-frame features — the video analog of parse_document's UDTF
-    shape."""
-    return _digest_embedding(sample_frames(media_df(spark, N_MEDIA)))
+    """Frame-sample every video (1 row in → N frame rows out, the
+    UDTF-shaped media op); driver projection is per-frame header
+    metadata + exact pixel sums + doubles derived from integers."""
+    frames = sample_frames(_media(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "fps",
+        F.round(F.col("frame_idx") / F.col("fps"), 4).alias("ts_offset_sec"),
+        "width",
+        "height",
+        "px_sum",
+        "n_px",
+        F.round(F.col("px_sum") / F.col("n_px"), 4).alias("mean_px"),
+    )
+
+
+SQL_VIDEO_FRAMES = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx
+  FROM '{MEDIA_ORACLE_ROOT}/{_MEDIA_ORACLE_SF}/media.parquet/*.parquet'
+  WHERE kind = 'video'
+), hdr AS (
+  SELECT media_id, hx,
+         {_u32le(5)} AS nf,
+         {_u32le(9)} AS w,
+         {_u32le(13)} AS h,
+         {_u32le(17)} AS fps
+  FROM m
+), fr AS (
+  -- every 4th frame incl. frame 0 (sample_frames' every_k=4)
+  SELECT media_id, hx, w, h, fps,
+         unnest(generate_series(0, nf - 1, 4)) AS frame_idx
+  FROM hdr
+)
+SELECT media_id, frame_idx, fps,
+       round(frame_idx / fps, 4) AS ts_offset_sec,
+       w AS width, h AS height,
+       list_sum(list_transform(
+         generate_series(21 + frame_idx*w*h, 20 + (frame_idx + 1)*w*h),
+         i -> {_byte('i')}))::BIGINT AS px_sum,
+       (w*h)::BIGINT                 AS n_px,
+       round(list_sum(list_transform(
+         generate_series(21 + frame_idx*w*h, 20 + (frame_idx + 1)*w*h),
+         i -> {_byte('i')}))::BIGINT / (w*h), 4) AS mean_px
+FROM fr
+"""
 
 
 def q_media_embedding_topk(spark, sf_dir):
@@ -73,8 +209,8 @@ def q_media_embedding_topk(spark, sf_dir):
     the first 5 image embeddings — the decode→embed→search chain. The
     decoded features are materialized to parquet and BOTH engines rank
     from those files, so the cosine/top-k math is hash-verified even
-    though the decode step itself is non-SQL."""
-    base = _image_features_parquet(spark, sf_dir)
+    though the embedding step itself is non-SQL."""
+    base = _materialize_media(spark, sf_dir)
     feats = spark.read.parquet(f"{base}/image_features.parquet")
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
@@ -118,8 +254,8 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 
 
 QUERIES = {
-    "media_image_features": (q_image_features, None),
-    "media_audio_features": (q_audio_features, None),
-    "media_video_frames": (q_video_frames, None),
+    "media_image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "media_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "media_video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "media_embedding_topk": (q_media_embedding_topk, SQL_MEDIA_EMBEDDING_TOPK),
 }

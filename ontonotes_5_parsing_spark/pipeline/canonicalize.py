@@ -71,7 +71,10 @@ def build_nodes_edges(
     (src, pred, dst) keys skewed for the same reason mention counts are.
     """
     canon = canonical_entities(linked)
-    mapping = surface_to_entity(linked, canon)
+    # persisted: the mapping is broadcast twice (src side and dst side);
+    # without the persist each broadcast build would re-run the
+    # canonical-entities aggregation over `linked`
+    mapping = surface_to_entity(linked, canon).persist()
 
     nodes = canon.select(
         "entity_id", "canonical", "ent_type", "n_mentions", "n_surfaces"

@@ -112,6 +112,15 @@ def candidate_pairs(vocab_with_bands: DataFrame) -> DataFrame:
         "ent_type",
         F.explode("bands").alias("b"),
     ).select("vertex_id", "norm", "ent_type", "b.band", "b.bh")
+    # localCheckpoint, not just persist: the minhash banding is a very
+    # large expression tree (12 × array_min(transform(shingles, …))),
+    # and this DF feeds THREE plan branches (bucket sizing + both
+    # self-join sides) — without the lineage cut Catalyst re-canonicalizes
+    # the giant tree per branch per action and planning time dominates
+    # the whole link stage (~3× the actual data work at bench scale).
+    # At production scale this materialization is the blocked-keys stage
+    # table the lineage/resume protocol writes anyway (SURVEY.md §7).
+    exploded = exploded.localCheckpoint(eager=True)
     bucket_sizes = exploded.groupBy("ent_type", "band", "bh").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )

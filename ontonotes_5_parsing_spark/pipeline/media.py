@@ -38,12 +38,20 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+#
+# Alongside the float features, the UDFs emit the *exact integer
+# aggregates* they derive from (px_sum / sq_sum): integers survive the
+# Arrow float32 roundtrip losslessly, so the driver's DuckDB oracle can
+# re-derive them independently from the raw payload bytes (hex-parse in
+# SQL) and hash-compare — a true cross-engine decode check.
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
         T.StructField("mean_intensity", T.FloatType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), False),
     ]
@@ -54,6 +62,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("sample_rate", T.IntegerType(), False),
         T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sq_sum", T.LongType(), False),
         T.StructField("rms", T.FloatType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), False),
     ]
@@ -63,9 +72,12 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
         T.StructField("ts_offset_sec", T.FloatType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
         T.StructField("mean_intensity", T.FloatType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), False),
     ]
@@ -205,6 +217,8 @@ def image_features(media: DataFrame) -> DataFrame:
                         "width": width,
                         "height": height,
                         "n_channels": channels,
+                        "px_sum": int(pixels.sum(dtype=np.int64)),
+                        "n_px": int(pixels.size),
                         "mean_intensity": float(round(pixels.mean(), 3)),
                         "embedding": _embed(pixels),
                     }
@@ -228,6 +242,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                         "media_id": int(mid),
                         "sample_rate": sample_rate,
                         "n_samples": n_samples,
+                        "sq_sum": int((samples.astype(np.int64) ** 2).sum()),
                         "rms": rms,
                         "embedding": _embed(samples),
                     }
@@ -259,9 +274,12 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
                         {
                             "media_id": int(mid),
                             "frame_idx": idx,
+                            "fps": fps,
                             "ts_offset_sec": float(round(idx / fps, 4)),
                             "width": width,
                             "height": height,
+                            "px_sum": int(frame.sum(dtype=np.int64)),
+                            "n_px": int(frame.size),
                             "mean_intensity": float(round(frame.mean(), 3)),
                             "embedding": _embed(frame.ravel()),
                         }

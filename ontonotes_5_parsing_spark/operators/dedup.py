@@ -104,6 +104,12 @@ def q_jaccard_pairs(spark, sf_dir):
     # df-counting, the canonical prefix order, the candidate join, and
     # the per-pair intersection all run on longs (measured ~8% faster
     # than the string-ordered form at sf0.1, identical output).
+    # localCheckpoint: the hashed-token array feeds THREE plan branches
+    # (prefix generation + both exact-verify sides) — the lineage cut
+    # materializes the tokenization once instead of three times and keeps
+    # the multi-branch plan small (same disease/cure as linking.py's
+    # banding keys; at production scale this is the encoded-tokens stage
+    # table the lineage protocol would write anyway)
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -111,7 +117,7 @@ def q_jaccard_pairs(spark, sf_dir):
             F.array_distinct(F.split(F.col("text"), " ")),
             lambda t: F.xxhash64(t),
         ).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    ).withColumn("n", F.size("toks")).localCheckpoint(eager=True)
     tok = docs.select("doc_id", "source", "n", F.explode("toks").alias("h"))
     # global token document frequencies (token-keyed groupBy; at 100 TB
     # this is a plain map-side-combined agg, no skew in the output)
@@ -132,6 +138,9 @@ def q_jaccard_pairs(spark, sf_dir):
                 F.transform("ordered", lambda s: s["h"]), F.lit(1), prefix_len
             ).alias("prefix"),
         )
+        # both self-join sides explode from this DF — cut the lineage so
+        # the df-count + collect_list chain runs once, not twice
+        .localCheckpoint(eager=True)
     )
     ptok = prefixes.select(
         "doc_id", "source", "n", F.posexplode("prefix").alias("p", "h")
@@ -458,6 +467,52 @@ SELECT doc_id, {_BIT_SUM} AS simhash FROM votes
 """
 
 
+# --- near-dup cluster assembly (E3 cluster-set union, with an oracle) ------
+# The step after pair generation in a real dedup pipeline: group the
+# near-dup pair graph into connected components and pick one keeper per
+# cluster. The Spark side runs the engine's CC operator
+# (pipeline.linking.connected_components — driver union-find at
+# vocabulary scale, distributed label propagation beyond); the oracle is
+# a DuckDB RECURSIVE CTE computing min-reachable-id transitive closure —
+# an *independent* fixpoint algorithm, so the iterative graph semantics
+# are genuinely hash-verified, not echoed.
+def q_dedup_components(spark, sf_dir):
+    from ..pipeline.linking import connected_components
+
+    pairs = q_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    vertices = (
+        pairs.select(F.col("src").alias("vertex_id"))
+        .union(pairs.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vertex_id").alias("keeper_doc_id"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  {SQL_JACCARD_PAIRS.replace(chr(10), chr(10) + '  ')}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), walk(v, comp) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.v
+), labels AS (
+  SELECT v AS vertex_id, min(comp) AS component FROM walk GROUP BY v
+)
+SELECT component, count(*) AS n_members, min(vertex_id) AS keeper_doc_id
+FROM labels GROUP BY component
+"""
+
+
 # The xxhash64 variants (q_minhash_buckets, q_simhash) are the documented
 # fast paths — same pipelines as the md5-oracled registry entries but with
 # the cheaper JVM hash. They are exercised by pytest (tests/test_dedup.py)
@@ -470,5 +525,6 @@ QUERIES = {
     "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_minhash_md5_buckets": (q_minhash_md5_buckets, SQL_MINHASH_MD5),
 }

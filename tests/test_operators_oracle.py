@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "txt_bpe_tokens",
     "evt_json_props",
     "evt_daily_retention",
+    "dedup_components",
 ]
 
 

@@ -108,6 +108,44 @@ def test_jaccard_candidate_join_is_token_keyed(spark):
         )
 
 
+def test_lsh_banding_lineage_is_cut(spark):
+    """The LSH blocking keys must be materialized (localCheckpoint)
+    before the candidate self-join: the 12-way minhash banding is a huge
+    expression tree referenced from three plan branches (bucket sizing +
+    both join sides), and without the lineage cut Catalyst planning time
+    dominated the whole link stage (~3× the data work at bench scale).
+    Regression pin: the candidate-pair plan scans the checkpointed RDD
+    and contains NO banding expressions of its own."""
+    from ontonotes_5_parsing_spark import corpus
+    from ontonotes_5_parsing_spark.pipeline.linking import (
+        add_minhash_bands,
+        candidate_pairs,
+        surface_vocab,
+    )
+    from ontonotes_5_parsing_spark.pipeline.run import build_extraction
+
+    mentions = build_extraction(corpus.web_pages_df(spark, 10))["mentions"]
+    cand = candidate_pairs(add_minhash_bands(surface_vocab(mentions)))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "array_min" not in plan  # banding computed before the cut
+    assert "minhash" not in plan.lower() or "mh0" not in plan
+
+
+def test_jaccard_tokenization_lineage_is_cut(spark):
+    """Same pin for the jaccard prefix pipeline: the hashed-token arrays
+    feed three branches (prefix generation + both exact-verify sides);
+    the plan must scan the checkpointed tokens, not recompute the
+    tokenize-hash transform per branch."""
+    from ontonotes_5_parsing_spark.operators.dedup import q_jaccard_pairs
+
+    plan = q_jaccard_pairs(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    # the xxhash64 tokenize transform ran before the checkpoint; the
+    # downstream plan must not re-derive toks from `text`
+    assert "split(text" not in plan
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every driver query's physical plan: no unplanned cartesian
     product, and no row-at-a-time Python UDF (BatchEvalPython) — the

@@ -420,7 +420,71 @@ GROUP BY p.p_brand
 """
 
 
+# --- exact interpolated percentiles (distribution profiling) ---------------
+# Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+# classic (1-g)·a + g·b interpolation, so the values hash identically at
+# round-4. Exact percentiles need the group sorted — the single shuffle
+# is on the group key; for sketch-grade profiling at 100 TB the engine
+# would swap in approx_percentile (t-digest) with the same query shape.
+def q_quantity_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+    )
+
+
+SQL_QUANTITY_PERCENTILES = """
+SELECT l_returnflag,
+       count(*)                              AS n_rows,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- dense_rank leaderboard (ranking-window family completion) -------------
+def q_customer_spend_rank(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), "c_custkey"
+    )
+    return (
+        spend.withColumn("spend_rank", F.dense_rank().over(w))
+        .filter(F.col("spend_rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "total_spend", "spend_rank")
+    )
+
+
+SQL_CUSTOMER_SPEND_RANK = """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         round(sum(o_totalprice), 2) AS total_spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spend,
+       dense_rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY total_spend DESC, c_custkey) AS spend_rank
+FROM spend
+QUALIFY spend_rank <= 5
+"""
+
+
 QUERIES = {
+    "rel_quantity_percentiles": (q_quantity_percentiles, SQL_QUANTITY_PERCENTILES),
+    "win_customer_spend_rank": (q_customer_spend_rank, SQL_CUSTOMER_SPEND_RANK),
     "rel_small_quantity_revenue": (
         q_small_quantity_revenue,
         SQL_SMALL_QUANTITY_REVENUE,

@@ -35,6 +35,8 @@ NEW_QUERIES = [
     "evt_json_props",
     "evt_daily_retention",
     "dedup_components",
+    "rel_quantity_percentiles",
+    "win_customer_spend_rank",
 ]
 
 

@@ -275,8 +275,48 @@ FROM documents
 """
 
 
+# --- deterministic hash sampling ------------------------------------------
+# Reproducible corpus sampling — the training-pipeline primitive behind
+# held-out splits and ablation subsets. The sample decision is a pure
+# function of the row key (md5 mod 100 < pct), so it is stable across
+# engines, partitionings, and reruns — never TABLESAMPLE/rand(), which
+# are partitioning-dependent. Map-only at any scale.
+SAMPLE_PCT = 10
+
+
+def q_hash_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    sampled = docs.withColumn("bucket", bucket).filter(F.col("bucket") < SAMPLE_PCT)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT lang,
+       count(*)                      AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT)  AS sampled_chars,
+       min(doc_id)                   AS min_doc_id,
+       max(doc_id)                   AS max_doc_id
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 100 < {SAMPLE_PCT}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "txt_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "txt_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "txt_repetition": (q_repetition, SQL_REPETITION),
     "txt_ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "txt_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

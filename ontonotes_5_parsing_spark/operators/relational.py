@@ -482,7 +482,55 @@ QUALIFY spend_rank <= 5
 """
 
 
+# --- full outer join (completes the join-type surface) ---------------------
+# Per-nation customer balance vs supplier balance: either side may be
+# missing a nation, so the combine is a genuine FULL OUTER on the
+# aggregated (tiny) per-nation tables — at scale both inputs are already
+# reduced before the join, which is the shape that avoids shuffling the
+# fact tables twice.
+def q_nation_balance_full_outer(spark, sf_dir):
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_balance"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_balance"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+            F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+        )
+    )
+
+
+SQL_NATION_BALANCE_FULL_OUTER = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, round(sum(c_acctbal), 2) AS cust_balance
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), supp AS (
+  SELECT s_nationkey AS nationkey, round(sum(s_acctbal), 2) AS supp_balance
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+)
+SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+       coalesce(cust_balance, 0.0) AS cust_balance,
+       coalesce(supp_balance, 0.0) AS supp_balance
+FROM cust FULL OUTER JOIN supp USING (nationkey)
+"""
+
+
 QUERIES = {
+    "rel_nation_balance_full_outer": (
+        q_nation_balance_full_outer,
+        SQL_NATION_BALANCE_FULL_OUTER,
+    ),
     "rel_quantity_percentiles": (q_quantity_percentiles, SQL_QUANTITY_PERCENTILES),
     "win_customer_spend_rank": (q_customer_spend_rank, SQL_CUSTOMER_SPEND_RANK),
     "rel_small_quantity_revenue": (

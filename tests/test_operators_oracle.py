@@ -37,6 +37,8 @@ NEW_QUERIES = [
     "dedup_components",
     "rel_quantity_percentiles",
     "win_customer_spend_rank",
+    "rel_nation_balance_full_outer",
+    "txt_hash_sample",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from .lexicon import PREDICATE_VERBS
+from .ner import bio_to_spans
 
 _PREDICATES = frozenset(PREDICATE_VERBS)
 
@@ -88,8 +89,6 @@ def extract_triples_with_coref(
     ``mention_spans`` (the `bio_to_spans` output) may be passed when the
     caller already computed it — e.g. the fused parse stage — to avoid
     a second run-length scan."""
-    from .ner import bio_to_spans
-
     if mention_spans is None:
         mention_spans = bio_to_spans(bio, bounds)
     items: List[tuple] = []

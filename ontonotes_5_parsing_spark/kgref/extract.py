@@ -54,11 +54,15 @@ def extract_text(html_bytes: bytes) -> str:
     s = _BLOCK_TAG.sub("\n", s)
     s = _ANY_TAG.sub("", s)
     s = _html.unescape(s)
+    # one squeeze pass over the whole document, then per-line strip:
+    # byte-identical to squeezing per line (the class excludes \n, so no
+    # substitution crosses a line) at ~1/30th the regex invocations
+    s = _MULTI_SPACE.sub(" ", s)
     lines = []
     for line in s.split("\n"):
-        squeezed = _MULTI_SPACE.sub(" ", line).strip()
-        if squeezed:
-            lines.append(squeezed)
+        stripped = line.strip()
+        if stripped:
+            lines.append(stripped)
     return "\n".join(lines)
 
 

@@ -7,9 +7,11 @@ entry(spark)   — flagship: full KG-construction DAG (extract → parse →
 queries()      — one entry per implemented operator (SURVEY.md §2 plus
                  the training-data-pipeline families: dedup, similarity,
                  text analysis, events).
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
-                 kg_* / minhash / simhash / LSH entries are rows-only by
-                 design (iterative or hash-function-specific semantics).
+oracle_sql()   — DuckDB-equivalent SQL for every query except
+                 kg_triples (the Arrow-UDF parse itself — genuinely
+                 non-SQL; every other non-SQL op is oracle-checked via
+                 parquet materialization, SQL blob decoding, or a
+                 recursive-CTE closure — see operators/*.py).
 """
 
 from __future__ import annotations

@@ -61,7 +61,7 @@ def main() -> int:
     # the timed section (the BENCH/BASELINE.md protocol: the production
     # engine scans an Iceberg/parquet table, it does not generate its
     # input), so the timings measure scan→triples, not generator→triples.
-    # min of 3 full runs: sandbox CPU-steal makes single-shot timings
+    # min of 4 full runs: sandbox CPU-steal makes single-shot timings
     # swing ±3×; each run rebuilds the whole DAG from scratch
     # build_extraction / build_graph are timed separately so the eager
     # connected-components actions inside the link stage are attributed
@@ -72,7 +72,7 @@ def main() -> int:
     web_pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(pages_path)
 
     kg_extract_sec = kg_link_sec = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         spark.catalog.clearCache()
         t0 = time.time()
         pages = read_web_pages(spark, pages_path)

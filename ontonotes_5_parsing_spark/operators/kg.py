@@ -316,8 +316,64 @@ GROUP BY ROLLUP (split, language, ent_type)
 """
 
 
+# --- JSON dataset sink/source roundtrip (S4/S5 driver-level check) ---------
+# write_json_dataset routes annotations into split-partitioned
+# newline-JSON (the engine's form of the reference's TRAINING/
+# VALIDATION/TESTING dump, ontonotes5_to_json.py:128-142); the Spark
+# side reads it back through the schema-pinned validating source and
+# aggregates, while DuckDB reads the SAME files with its own JSON
+# reader (hive_partitioning) — a cross-engine check of the sink format
+# itself, not just of in-memory semantics.
+def _json_dataset_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..pipeline.dataset_io import write_json_dataset
+    from ..pipeline.stages import annotations_stage
+
+    base = _oracle_dir(sf_dir)
+    key = (id(spark), sf_dir, "json_dataset")
+    if key not in _ORACLE_DONE:
+        out = _pipeline(spark, sf_dir)
+        ann = annotations_stage(
+            out["sentences"].select("url", "sent_idx", "text", "lang"),
+            out["mentions"],
+        )
+        write_json_dataset(ann, f"{base}/dataset_json")
+        _ORACLE_DONE.add(key)
+    return f"{base}/dataset_json"
+
+
+def q_kg_json_roundtrip(spark, sf_dir):
+    from ..pipeline.dataset_io import read_json_dataset
+
+    path = _json_dataset_dir(spark, sf_dir)
+    df, _obs = read_json_dataset(spark, path)
+    return df.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("url").alias("n_urls"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(F.map_keys("entities"))).alias("total_labels"),
+    )
+
+
+SQL_KG_JSON_ROUNDTRIP = f"""
+SELECT split, lang,
+       count(*)                          AS n_records,
+       count(DISTINCT url)               AS n_urls,
+       CAST(sum(len(text)) AS BIGINT)    AS total_chars,
+       CAST(sum(len(json_keys(entities))) AS BIGINT) AS total_labels
+FROM read_json(
+  '{ORACLE_ROOT}/{_ORACLE_SF}/dataset_json/split=*/*.json',
+  format='newline_delimited', hive_partitioning=1,
+  -- entities must stay raw JSON: auto-inference widens it to a STRUCT
+  -- holding the UNION of keys across rows, which overcounts labels
+  columns={{'url': 'VARCHAR', 'sent_idx': 'BIGINT', 'text': 'VARCHAR',
+            'lang': 'VARCHAR', 'entities': 'JSON'}})
+GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "kg_triples": (q_kg_triples, None),
+    "kg_json_roundtrip": (q_kg_json_roundtrip, SQL_KG_JSON_ROUNDTRIP),
     "kg_mention_type_counts": (q_kg_mention_type_counts, SQL_KG_MENTION_TYPE_COUNTS),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
     "kg_edges_top": (q_kg_edges_top, SQL_KG_EDGES_TOP),

@@ -327,8 +327,103 @@ GROUP BY daily.day
 """
 
 
+# --- ordered funnel (view → click → purchase) -------------------------------
+# Sequence analytics: per user, the first view, the first click strictly
+# after it, the first purchase strictly after that — then one row per
+# funnel stage with the user count and conversion from stage 1. The
+# stage milestones are conditional min-aggregations (one shuffle on
+# user_id, map-side combinable); no self-joins, no window over the raw
+# event stream — the shape that survives 10^12 events.
+def q_funnel(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view")
+    )
+    # click/purchase milestones need the prior milestone — two more
+    # conditional aggs over the same pre-shuffled grain
+    joined = ev.join(per_user, "user_id")
+    with_click = (
+        joined.groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") > F.col("t_view")),
+                    F.col("t"),
+                )
+            ).alias("t_click")
+        )
+    )
+    with_purchase = (
+        ev.join(with_click, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("t_click")),
+                    F.col("t"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    n_view = F.count(F.when(F.col("t_view").isNotNull(), 1))
+    n_click = F.count(F.when(F.col("t_click").isNotNull(), 1))
+    n_purchase = F.count(F.when(F.col("t_purchase").isNotNull(), 1))
+    totals = with_purchase.agg(
+        n_view.alias("n_view"), n_click.alias("n_click"), n_purchase.alias("n_purchase")
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("stage"), F.lit("view").alias("name"),
+                     F.col("n_view").alias("n_users")),
+            F.struct(F.lit(2).alias("stage"), F.lit("click").alias("name"),
+                     F.col("n_click").alias("n_users")),
+            F.struct(F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
+                     F.col("n_purchase").alias("n_users")),
+        )
+    )
+    return totals.select(stage.alias("s"), "n_view").select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.name").alias("stage_name"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("n_view"), 4).alias("conversion"),
+    )
+
+
+SQL_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS t FROM events
+), v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS t_view
+  FROM ev GROUP BY user_id
+), c AS (
+  SELECT ev.user_id, v.t_view,
+         min(CASE WHEN event_type = 'click' AND t > t_view THEN t END) AS t_click
+  FROM ev JOIN v USING (user_id) GROUP BY ev.user_id, v.t_view
+), p AS (
+  SELECT ev.user_id, c.t_view, c.t_click,
+         min(CASE WHEN event_type = 'purchase' AND t > t_click THEN t END)
+           AS t_purchase
+  FROM ev JOIN c USING (user_id) GROUP BY ev.user_id, c.t_view, c.t_click
+), totals AS (
+  SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)     AS n_view,
+         count(CASE WHEN t_click IS NOT NULL THEN 1 END)    AS n_click,
+         count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase
+  FROM p
+)
+SELECT s.stage, s.stage_name, s.n_users,
+       round(s.n_users / totals.n_view, 4) AS conversion
+FROM totals, LATERAL (VALUES
+  (1, 'view', n_view), (2, 'click', n_click), (3, 'purchase', n_purchase)
+) AS s(stage, stage_name, n_users)
+"""
+
+
 QUERIES = {
     "win_events_moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "evt_funnel": (q_funnel, SQL_FUNNEL),
     "evt_json_props": (q_json_props, SQL_JSON_PROPS),
     "evt_daily_retention": (q_daily_retention, SQL_DAILY_RETENTION),
     "evt_asof_join": (q_asof_join, SQL_ASOF_JOIN),

@@ -526,7 +526,59 @@ FROM cust FULL OUTER JOIN supp USING (nationkey)
 """
 
 
+# --- market share by year (TPC-H Q8 shape: conditional share) --------------
+# Per (order-year): EUROPE-supplier revenue share of total revenue —
+# conditional-sum over a 5-way join with every dimension broadcast; the
+# only large shuffle is the final per-year aggregation.
+def q_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("r_name") == "EUROPE", vol)), 2).alias(
+                "europe_volume"
+            ),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+            F.round(
+                F.sum(F.when(F.col("r_name") == "EUROPE", vol)) / F.sum(vol), 4
+            ).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN r_name = 'EUROPE'
+                      THEN l_extendedprice * (1 - l_discount) END), 2)
+         AS europe_volume,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume,
+       round(sum(CASE WHEN r_name = 'EUROPE'
+                      THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY year(o_orderdate)
+"""
+
+
 QUERIES = {
+    "rel_market_share": (q_market_share, SQL_MARKET_SHARE),
     "rel_nation_balance_full_outer": (
         q_nation_balance_full_outer,
         SQL_NATION_BALANCE_FULL_OUTER,

@@ -39,6 +39,8 @@ NEW_QUERIES = [
     "win_customer_spend_rank",
     "rel_nation_balance_full_outer",
     "txt_hash_sample",
+    "evt_funnel",
+    "rel_market_share",
 ]
 
 

@@ -421,8 +421,42 @@ FROM totals, LATERAL (VALUES
 """
 
 
+# --- trailing-hour RANGE window ---------------------------------------------
+# Event-time sliding window as a window FRAME (RANGE BETWEEN 3600
+# PRECEDING), not a self-join: per event, the user's event count and
+# value sum over the trailing hour. One shuffle on user_id; the frame
+# scan is sort-local within each user partition.
+def q_trailing_hour(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_trailing_hour"),
+    )
+
+
+SQL_TRAILING_HOUR = """
+SELECT event_id, user_id,
+       count(*) OVER w                 AS n_trailing_hour,
+       round(sum(value) OVER w, 2)     AS value_trailing_hour
+FROM (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t, value
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "win_events_moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "win_events_trailing_hour": (q_trailing_hour, SQL_TRAILING_HOUR),
     "evt_funnel": (q_funnel, SQL_FUNNEL),
     "evt_json_props": (q_json_props, SQL_JSON_PROPS),
     "evt_daily_retention": (q_daily_retention, SQL_DAILY_RETENTION),

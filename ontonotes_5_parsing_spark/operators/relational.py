@@ -577,8 +577,30 @@ GROUP BY year(o_orderdate)
 """
 
 
+# --- statistical moments (stddev / correlation profiling) ------------------
+def q_stats_moments(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_variance"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+SQL_STATS_MOMENTS = """
+SELECT l_returnflag,
+       count(*)                                   AS n_rows,
+       round(stddev_samp(l_quantity), 4)          AS qty_stddev,
+       round(var_samp(l_discount), 6)             AS disc_variance,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "rel_market_share": (q_market_share, SQL_MARKET_SHARE),
+    "rel_stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "rel_nation_balance_full_outer": (
         q_nation_balance_full_outer,
         SQL_NATION_BALANCE_FULL_OUTER,

@@ -41,6 +41,8 @@ NEW_QUERIES = [
     "txt_hash_sample",
     "evt_funnel",
     "rel_market_share",
+    "win_events_trailing_hour",
+    "rel_stats_moments",
 ]
 
 

@@ -371,8 +371,159 @@ GROUP BY split, lang
 """
 
 
+# --- graph analytics over the materialized KG ------------------------------
+def q_kg_degree_top(spark, sf_dir):
+    """Node degree profile: out/in/total degree + evidence-weighted
+    degree per node, top 20 — the first question anyone asks of a new
+    graph. Pure aggregation over the edges table (salted upstream)."""
+    base = _materialize_for_oracle(spark, sf_dir)
+    edges = spark.read.parquet(f"{base}/edges.parquet")
+    nodes = spark.read.parquet(f"{base}/nodes.parquet").select(
+        "entity_id", "canonical"
+    )
+    outd = edges.groupBy(F.col("src_entity_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("n_evidence").alias("out_evidence"),
+    )
+    ind = edges.groupBy(F.col("dst_entity_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        nodes.join(outd, "entity_id", "left")
+        .join(ind, "entity_id", "left")
+        .select(
+            "canonical",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
+                "total_degree"
+            ),
+            F.coalesce("out_evidence", F.lit(0)).alias("out_evidence"),
+        )
+        .orderBy(F.desc("total_degree"), "canonical")
+        .limit(20)
+    )
+
+
+SQL_KG_DEGREE_TOP = f"""
+WITH e AS (
+  SELECT * FROM '{ORACLE_ROOT}/{_ORACLE_SF}/edges.parquet/*.parquet'
+), outd AS (
+  SELECT src_entity_id AS entity_id, count(*) AS out_degree,
+         CAST(sum(n_evidence) AS BIGINT) AS out_evidence
+  FROM e GROUP BY src_entity_id
+), ind AS (
+  SELECT dst_entity_id AS entity_id, count(*) AS in_degree
+  FROM e GROUP BY dst_entity_id
+)
+SELECT n.canonical,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0)  AS in_degree,
+       coalesce(out_degree, 0) + coalesce(in_degree, 0) AS total_degree,
+       coalesce(out_evidence, 0) AS out_evidence
+FROM '{ORACLE_ROOT}/{_ORACLE_SF}/nodes.parquet/*.parquet' n
+LEFT JOIN outd USING (entity_id) LEFT JOIN ind USING (entity_id)
+ORDER BY total_degree DESC, canonical LIMIT 20
+"""
+
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Bounded PageRank (5 unrolled iterations, damping 0.85, dangling
+    mass dropped — the identical formula in both engines) over the
+    materialized KG: iterative joins with the rank vector rebuilt per
+    round; at scale each round is one shuffle on dst plus a broadcast
+    of the (vocabulary-sized) rank vector. The DuckDB oracle unrolls
+    the same five iterations as a CTE chain — a full cross-engine check
+    of an iterative graph algorithm."""
+    base = _materialize_for_oracle(spark, sf_dir)
+    nodes = spark.read.parquet(f"{base}/nodes.parquet").select(
+        "entity_id", "canonical"
+    )
+    edges = (
+        spark.read.parquet(f"{base}/edges.parquet")
+        .select(
+            F.col("src_entity_id").alias("s"), F.col("dst_entity_id").alias("d")
+        )
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ew = edges.join(outdeg, "s")
+    ranks = nodes.select(
+        "entity_id", F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            ew.join(ranks, ew.s == ranks.entity_id)
+            .select("d", (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.entity_id == contribs.d, "left")
+            .select(
+                "entity_id",
+                (
+                    F.lit((1 - PR_DAMP) / n_nodes)
+                    + F.lit(PR_DAMP) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(ranks, "entity_id")
+        .select("canonical", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "canonical")
+        .limit(20)
+    )
+
+
+def _pr_sql() -> str:
+    chain = [
+        "pr0 AS (SELECT entity_id, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes)"
+    ]
+    for k in range(PR_ITERS):
+        chain.append(
+            f"""pr{k + 1} AS (
+  SELECT nodes.entity_id,
+         {1 - PR_DAMP} / (SELECT n_nodes FROM n)
+         + {PR_DAMP} * coalesce(c.contrib, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.d AS entity_id, sum(p.rank / deg.od) AS contrib
+    FROM pr{k} p JOIN e ON p.entity_id = e.s JOIN deg ON e.s = deg.s
+    GROUP BY e.d
+  ) c USING (entity_id)
+)"""
+        )
+    return f"""
+WITH nodes AS (
+  SELECT entity_id, canonical
+  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/nodes.parquet/*.parquet'
+), e AS (
+  SELECT DISTINCT src_entity_id AS s, dst_entity_id AS d
+  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/edges.parquet/*.parquet'
+), deg AS (
+  SELECT s, count(*) AS od FROM e GROUP BY s
+), n AS (
+  SELECT count(*) AS n_nodes FROM nodes
+), {", ".join(chain)}
+SELECT nodes.canonical, round(pr{PR_ITERS}.rank, 6) AS pagerank
+FROM pr{PR_ITERS} JOIN nodes USING (entity_id)
+ORDER BY pagerank DESC, canonical LIMIT 20
+"""
+
+
+SQL_KG_PAGERANK = _pr_sql()
+
+
 QUERIES = {
     "kg_triples": (q_kg_triples, None),
+    "kg_degree_top": (q_kg_degree_top, SQL_KG_DEGREE_TOP),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_json_roundtrip": (q_kg_json_roundtrip, SQL_KG_JSON_ROUNDTRIP),
     "kg_mention_type_counts": (q_kg_mention_type_counts, SQL_KG_MENTION_TYPE_COUNTS),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),

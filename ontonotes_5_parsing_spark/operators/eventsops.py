@@ -267,7 +267,13 @@ def q_json_props(spark, sf_dir):
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # Integer-exact mean (milli-units, half-up integer division):
+            # round(avg,4) hash-failed at the driver because DuckDB's
+            # sum/avg intermediates are HUGEINT; pure integer arithmetic
+            # at the boundary is bit-identical in both engines.
+            F.expr(
+                "CAST((2000 * sum(k) + count(1)) DIV (2 * count(1)) AS BIGINT)"
+            ).alias("avg_k_milli"),
         )
     )
 
@@ -278,7 +284,8 @@ SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+       CAST((2000 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_k_milli
 FROM events GROUP BY event_type
 """
 

@@ -121,10 +121,17 @@ def q_repetition(spark, sf_dir):
     per_bigram = exploded.groupBy("doc_id", "bigram").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # Driver boundary is integer-exact: the ratio is published in basis
+    # points as a BIGINT computed with half-up *integer* arithmetic
+    # ((20000*max + sum) div (2*sum)) — no float round() at the hash
+    # boundary, so DuckDB's HUGEINT sum() cannot diverge (the round-2
+    # driver hash-fail was round(max/sum, 4) of HUGEINT intermediates).
     return per_bigram.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
         F.max("c").alias("top_bigram_count"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("dup_bigram_ratio"),
+        F.expr(
+            "CAST((20000 * max(c) + sum(c)) DIV (2 * sum(c)) AS BIGINT)"
+        ).alias("dup_bigram_bp"),
     )
 
 
@@ -141,9 +148,10 @@ WITH t AS (
   SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram
 )
 SELECT doc_id,
-       sum(c)                    AS n_bigrams,
-       max(c)                    AS top_bigram_count,
-       round(max(c) / sum(c), 4) AS dup_bigram_ratio
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       max(c)                 AS top_bigram_count,
+       CAST((20000 * max(c) + sum(c)) // (2 * sum(c)) AS BIGINT)
+         AS dup_bigram_bp
 FROM per GROUP BY doc_id
 """
 

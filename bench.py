@@ -68,7 +68,12 @@ def main() -> int:
     # to kg_pipeline_link_canonicalize, not to the triples stage
     from ontonotes_5_parsing_spark.corpus import read_web_pages
 
-    pages_path = f"/tmp/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}.parquet"
+    # pid-keyed so concurrent runs from different checkouts sharing an
+    # sf_dir basename never overwrite each other's input mid-run
+    pages_path = (
+        f"/tmp/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}.parquet"
+    )
     web_pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(pages_path)
 
     kg_extract_sec = kg_link_sec = float("inf")
@@ -89,13 +94,24 @@ def main() -> int:
     # --- one representative query per operator family ---
     # min of 3 repetitions: the sandbox shows heavy background load and
     # single-shot timings swing ±3×; min-of-n is the standard damping
+    from ontonotes_5_parsing_spark.operators import dedup as _dedup
+
     for name in HEADLINE:
         fn, _sql = ALL_QUERIES[name]
         best = float("inf")
-        for _ in range(3):
+        reps_done = 0
+        # adaptive min-of-N: cheap (sub-2s) queries get 6 samples instead
+        # of 3 — their timings are scheduling-bound and a single steal
+        # spike can triple a 0.2 s query (the round-2 driver run showed
+        # exactly that on win_customer_running_spend / txt_token_stats)
+        while reps_done < 3 or (best < 2.0 and reps_done < 6):
+            # memoized queries must rebuild per repetition or min-of-N
+            # would time only the cached tail
+            _dedup._JACCARD_CACHE.clear()
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
+            reps_done += 1
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

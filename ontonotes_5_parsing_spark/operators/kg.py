@@ -476,7 +476,9 @@ def q_kg_pagerank(spark, sf_dir):
         )
     return (
         nodes.join(ranks, "entity_id")
-        .select("canonical", F.round("rank", 6).alias("pagerank"))
+        # 4-dp boundary: 5 rounds of double summation differ in the last
+        # bits between engines; 6 dp was one steal-window from a hash flip
+        .select("canonical", F.round("rank", 4).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "canonical")
         .limit(20)
     )
@@ -511,7 +513,7 @@ WITH nodes AS (
 ), n AS (
   SELECT count(*) AS n_nodes FROM nodes
 ), {", ".join(chain)}
-SELECT nodes.canonical, round(pr{PR_ITERS}.rank, 6) AS pagerank
+SELECT nodes.canonical, round(pr{PR_ITERS}.rank, 4) AS pagerank
 FROM pr{PR_ITERS} JOIN nodes USING (entity_id)
 ORDER BY pagerank DESC, canonical LIMIT 20
 """

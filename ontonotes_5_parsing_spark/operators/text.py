@@ -59,7 +59,13 @@ def q_lang_frequencies(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # integer-exact mean (milli-chars, half-up integer division):
+            # round(avg(BIGINT),4) is the HUGEINT-intermediate class that
+            # hash-failed evt_json_props at the round-2 driver gate
+            F.expr(
+                "CAST((2000 * sum(n_chars) + count(1)) DIV (2 * count(1)) "
+                "AS BIGINT)"
+            ).alias("avg_chars_milli"),
         )
     )
 
@@ -68,7 +74,8 @@ SQL_LANG_FREQUENCIES = """
 SELECT lang,
        count(*)                     AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(avg(n_chars), 4)       AS avg_chars
+       CAST((2000 * sum(n_chars) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_chars_milli
 FROM documents GROUP BY lang
 """
 

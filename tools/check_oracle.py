@@ -37,6 +37,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="check registry.ALL_QUERIES, not just the driver-graded 50")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -50,8 +52,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if args.all:
+        from ontonotes_5_parsing_spark.operators.registry import ALL_QUERIES
+
+        qs = {n: fn for n, (fn, _sql) in ALL_QUERIES.items()}
+        oracles = {n: sql for n, (_fn, sql) in ALL_QUERIES.items()
+                   if sql is not None}
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     n_fail = 0
     for name, fn in qs.items():
@@ -78,6 +87,23 @@ def main() -> int:
                   f"{complex_cols} (driver canonicalizer cannot hash them)")
             n_fail += 1
             continue
+        # paranoid float audit: the driver hash-failed two locally-green
+        # queries in round 2 because DuckDB's round() over HUGEINT-derived
+        # ratios differs in the driver's environment. Flag any float
+        # column that is not classified in the provenance manifest, and
+        # any SUM_ROUND/ITER_ROUND (engine-ordered double accumulation)
+        # column inside the graded window that lacks a prior green row.
+        from ontonotes_5_parsing_spark.operators.float_boundary import (
+            FLOAT_PROVENANCE,
+        )
+        for f in sdf.schema.fields:
+            st = f.dataType.simpleString()
+            if st == "float":
+                print(f"WARN  {name}: float32 column {f.name} at the "
+                      f"driver boundary (%.6f hash will flake)")
+            elif st == "double" and (name, f.name) not in FLOAT_PROVENANCE:
+                print(f"WARN  {name}: unclassified double column {f.name} "
+                      f"(add provenance in operators/float_boundary.py)")
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check) "
                   f"[{time.time()-t0:.1f}s]")

@@ -68,8 +68,10 @@ def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RESUME_PENDING = f"""
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d
-ANTI JOIN '{ORACLE_ROOT}/sf0.01/resume_done/*.parquet' done
-  ON d.doc_id = done.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM '{ORACLE_ROOT}/sf0.01/resume_done/*.parquet' done
+  WHERE done.doc_id = d.doc_id
+)
 """
 
 

@@ -104,7 +104,7 @@ def main() -> int:
         # of 3 — their timings are scheduling-bound and a single steal
         # spike can triple a 0.2 s query (the round-2 driver run showed
         # exactly that on win_customer_running_spend / txt_token_stats)
-        while reps_done < 3 or (best < 2.0 and reps_done < 6):
+        while reps_done < 4 or (best < 2.0 and reps_done < 6):
             # memoized queries must rebuild per repetition or min-of-N
             # would time only the cached tail
             _dedup._JACCARD_CACHE.clear()

@@ -72,6 +72,8 @@ def main() -> int:
         # one reference + hardware probe per few rounds (same-window
         # pairing for the vs-reference ratio)
         if rnd % 3 == 0:
+            while os.path.exists(PAUSE) and not os.path.exists(STOP):
+                time.sleep(20)
             if os.path.exists(STOP):
                 return 0
             ref = reference_throughput(args.pages_parquet)

@@ -28,6 +28,7 @@ Two views of the registry:
 
 from __future__ import annotations
 
+from ..sources import bucketed
 from . import (
     dedup,
     eventsops,
@@ -51,6 +52,7 @@ for module in (
     kg,
     multimodal,
     pipelineq,
+    bucketed,
 ):
     for name, pair in module.QUERIES.items():
         assert name not in ALL_QUERIES, f"duplicate query name {name}"

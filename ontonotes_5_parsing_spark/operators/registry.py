@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from ..sources import bucketed
 from . import (
+    cleaning,
     dedup,
     eventsops,
     kg,
@@ -46,6 +47,7 @@ for module in (
     relational,
     text,
     quality,
+    cleaning,
     dedup,
     similarity,
     eventsops,
@@ -94,6 +96,10 @@ GRADED_ORDER = [
     "txt_ngram_topk",
     "txt_tfidf_top_terms",
     "txt_bpe_tokens",
+    # -- corpus cleaning (round-3 new shapes: broadcast-semi
+    #    contamination check, corpus-wide exact-substring chunk dedup) --
+    "clean_contamination",
+    "dedup_chunk_unique",
     # -- dedup --
     "dedup_exact",
     "dedup_keep_first",
@@ -117,9 +123,12 @@ GRADED_ORDER = [
     "rel_pricing_summary",
     "rel_shipping_priority",
     "rel_local_supplier_volume",
-    "rel_order_rollup",
-    "rel_parts_never_ordered",
     "win_customer_running_spend",
+    # rel_order_rollup rotated out (rollup shape graded via
+    # kg_split_rollup) and rel_parts_never_ordered rotated out
+    # (anti-join shape graded via lineage_resume_pending) to make room
+    # for the two round-3 cleaning shapes — both remain in ALL_QUERIES
+    # under the local gate.
 ]
 
 assert len(GRADED_ORDER) == 50, len(GRADED_ORDER)

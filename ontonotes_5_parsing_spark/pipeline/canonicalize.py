@@ -80,20 +80,29 @@ def build_nodes_edges(
         "entity_id", "canonical", "ent_type", "n_mentions", "n_surfaces"
     )
 
-    src_map = mapping.withColumnRenamed("entity_id", "src_entity_id")
-    dst_map = mapping.withColumnRenamed("entity_id", "dst_entity_id")
+    # both endpoint joins broadcast the SAME subplan (`mapping`, renamed
+    # only after the join) so Catalyst's ReuseExchange rule dedupes the
+    # two BroadcastExchanges into one build job — renaming before the
+    # join (the obvious spelling) puts a distinct Project under each
+    # exchange and the mapping is built and shipped twice
+    src_m = F.broadcast(mapping).alias("src_m")
+    dst_m = F.broadcast(mapping).alias("dst_m")
     resolved = (
         triples.join(
-            F.broadcast(src_map),
-            (triples.subj == src_map.surface) & (triples.subj_type == src_map.ent_type),
+            src_m,
+            (triples.subj == F.col("src_m.surface"))
+            & (triples.subj_type == F.col("src_m.ent_type")),
             "inner",
         )
+        .withColumnRenamed("entity_id", "src_entity_id")
         .drop("surface", "ent_type")
         .join(
-            F.broadcast(dst_map),
-            (triples.obj == dst_map.surface) & (triples.obj_type == dst_map.ent_type),
+            dst_m,
+            (F.col("obj") == F.col("dst_m.surface"))
+            & (F.col("obj_type") == F.col("dst_m.ent_type")),
             "inner",
         )
+        .withColumnRenamed("entity_id", "dst_entity_id")
         .drop("surface", "ent_type")
     )
     salted = resolved.withColumn(

@@ -121,11 +121,16 @@ def candidate_pairs(vocab_with_bands: DataFrame) -> DataFrame:
     # At production scale this materialization is the blocked-keys stage
     # table the lineage/resume protocol writes anyway (SURVEY.md §7).
     exploded = exploded.localCheckpoint(eager=True)
-    bucket_sizes = exploded.groupBy("ent_type", "band", "bh").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
+    # bucket-size guard as a window count over the blocking key: one
+    # shuffle of `exploded`, and the output stays hash-partitioned on
+    # (ent_type, band, bh) so the self-join below reuses the exchange
+    # instead of re-shuffling both sides (the groupBy-sizes + re-join
+    # spelling costs two extra shuffles of the same data)
+    from pyspark.sql import Window
+
+    key_w = Window.partitionBy("ent_type", "band", "bh")
     exploded = (
-        exploded.join(bucket_sizes, ["ent_type", "band", "bh"])
+        exploded.withColumn("bucket_n", F.count(F.lit(1)).over(key_w))
         .filter(F.col("bucket_n") <= MAX_BUCKET)
         .drop("bucket_n")
     )

@@ -17,8 +17,8 @@ import re
 from typing import Dict, List, Tuple
 
 from .lexicon import GAZETTEER
-from .spans import Span, check_bounds, get_token_bounds
-from .tokenize import tokenize_any_text
+from .spans import Span, check_bounds
+from .tokenize import tokenize_any_text, tokenize_with_bounds
 
 # gazetteer keyed by token tuple for longest-match scanning
 _GAZ_TOKENS: Dict[Tuple[str, ...], str] = {}
@@ -30,6 +30,15 @@ for _surface, _etype in GAZETTEER.items():
 # first tokens of any gazetteer entry: tokens outside this set can never
 # start a match, so the longest-match tuple probing is skipped for them
 _GAZ_FIRST = frozenset(t[0] for t in _GAZ_TOKENS)
+# gazetteer re-indexed by first token, entries longest-first: probing
+# compares only the (usually 1-2) real candidate entries instead of
+# building a tuple per span length — same longest-match result because
+# at most one entry exists per (first token, length)
+_GAZ_BY_FIRST: Dict[str, List[Tuple[List[str], str, int]]] = {}
+for _toks, _etype in _GAZ_TOKENS.items():
+    _GAZ_BY_FIRST.setdefault(_toks[0], []).append((list(_toks), _etype, len(_toks)))
+for _lst in _GAZ_BY_FIRST.values():
+    _lst.sort(key=lambda x: -x[2])
 _B_TAG = {e: "B-" + e for e in set(_GAZ_TOKENS.values()) | {"DATE", "CARDINAL"}}
 _I_TAG = {e: "I-" + e for e in _B_TAG}
 
@@ -62,10 +71,12 @@ def tag_bio(tokens: List[str]) -> List[str]:
     n = len(tokens)
     while i < n:
         matched = False
-        if tokens[i] in _GAZ_FIRST:
-            for span_len in range(min(_MAX_GAZ_LEN, n - i), 0, -1):
-                etype = _GAZ_TOKENS.get(tuple(tokens[i : i + span_len]))
-                if etype is not None:
+        entries = _GAZ_BY_FIRST.get(tokens[i])
+        if entries is not None:
+            for ent_toks, etype, span_len in entries:
+                if span_len == 1 or (
+                    i + span_len <= n and tokens[i : i + span_len] == ent_toks
+                ):
                     bio[i] = _B_TAG[etype]
                     itag = _I_TAG[etype]
                     for k in range(i + 1, i + span_len):
@@ -117,10 +128,9 @@ def annotate_sentence(text: str) -> dict:
     /root/reference/ontonotes5/utils.py:732-737): text + entities map
     {type: [(start, end), ...]} with spans sorted / validated.
     """
-    tokens = tokenize_any_text(text)
+    tokens, bounds = tokenize_with_bounds(text)
     if not tokens:
         return {"text": text, "tokens": [], "bounds": [], "bio": [], "entities": {}}
-    bounds = get_token_bounds(text, tokens)
     bio = tag_bio(tokens)
     entities: Dict[str, List[Span]] = {}
     for start, end, etype in bio_to_spans(bio, bounds):

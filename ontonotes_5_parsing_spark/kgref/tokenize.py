@@ -26,6 +26,29 @@ def wordpunct_tokenize(s: str) -> List[str]:
     return _WORDPUNCT.findall(s)
 
 
+def tokenize_with_bounds(s: str):
+    """``(tokens, bounds)`` in one regex pass (no-CJK fast path).
+
+    Equivalent to ``tokenize_any_text`` + ``spans.get_token_bounds``:
+    the wordpunct pattern tiles the text leaving only whitespace
+    between matches, and tokens are non-empty and whitespace-free, so
+    ``text.find(tok, prev_end)`` lands exactly on each match start —
+    ``finditer`` yields the same bounds without the per-token scan.
+    CJK text falls back to the tokenize-then-find composition.
+    """
+    if _CJK_RUN.search(s):
+        from .spans import get_token_bounds
+
+        tokens = tokenize_any_text(s)
+        return tokens, get_token_bounds(s, tokens)
+    tokens: List[str] = []
+    bounds = []
+    for m in _WORDPUNCT.finditer(s):
+        tokens.append(m.group(0))
+        bounds.append((m.start(), m.end()))
+    return tokens, bounds
+
+
 def tokenize_any_text(s: str) -> List[str]:
     """Tokenize text of any script.
 

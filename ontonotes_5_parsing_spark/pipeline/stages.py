@@ -19,8 +19,7 @@ from pyspark.sql import types as T
 from ..kgref.extract import extract_text, split_sentences
 from ..kgref.lexicon import PREDICATE_VERBS
 from ..kgref.ner import tag_bio
-from ..kgref.spans import get_token_bounds
-from ..kgref.tokenize import tokenize_any_text
+from ..kgref.tokenize import tokenize_with_bounds
 from .schemas import SENTENCES_SCHEMA
 
 
@@ -58,10 +57,9 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if not text:
                 continue
             for sent_idx, sent in enumerate(split_sentences(text)):
-                tokens = tokenize_any_text(sent)
+                tokens, bounds = tokenize_with_bounds(sent)
                 if not tokens:
                     continue
-                bounds = get_token_bounds(sent, tokens)
                 bio = tag_bio(tokens)
                 out["url"].append(url)
                 out["sent_idx"].append(sent_idx)
@@ -94,11 +92,11 @@ def parse_stage(extracted: DataFrame) -> DataFrame:
 # worker heap.
 def _annotate(sent: str):
     from ..kgref.ner import bio_to_spans
+    from ..kgref.tokenize import tokenize_with_bounds
 
-    tokens = tokenize_any_text(sent)
+    tokens, bounds = tokenize_with_bounds(sent)
     if not tokens:
         return None
-    bounds = get_token_bounds(sent, tokens)
     bio = tag_bio(tokens)
     spans = bio_to_spans(bio, bounds)
     return tokens, bounds, bio, spans

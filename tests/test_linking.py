@@ -164,3 +164,38 @@ def test_salted_vocab_counts_exact_under_extreme_skew(spark):
     }
     assert got == expected
     assert got[("Hot Entity", "ORG")] == 18_000
+
+
+def test_candidate_hot_bucket_guard(spark, monkeypatch):
+    """A blocking key shared by more than MAX_BUCKET surfaces is dropped
+    before the self-join (quadratic-fanout guard): surfaces linked ONLY
+    through the hot token produce no candidate pair, while pairs that
+    also share a rarer key survive."""
+    from ontonotes_5_parsing_spark.pipeline import linking
+
+    # 6 surfaces share only the token "corp"; two extra surfaces are a
+    # near-duplicate pair sharing rare shingle/token keys of their own
+    surfaces = [f"{w} corp" for w in ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")]
+    surfaces += ["zenith systems", "zenith system"]
+    mentions = spark.createDataFrame(
+        [(f"u{i}", 0, s, "ORG") for i, s in enumerate(surfaces)],
+        "url string, sent_idx int, surface string, ent_type string",
+    )
+    def corp_pairs(max_bucket):
+        monkeypatch.setattr(linking, "MAX_BUCKET", max_bucket)
+        vocab = linking.surface_vocab(mentions)
+        pairs = linking.candidate_pairs(linking.add_minhash_bands(vocab))
+        norm_pairs = {(r.norm_a, r.norm_b) for r in pairs.collect()}
+        return norm_pairs, {
+            p for p in norm_pairs if p[0].endswith("corp") and p[1].endswith("corp")
+        }
+
+    all_pairs, clique = corp_pairs(4096)
+    # unguarded: the shared "corp" token key yields the full 6-choose-2 clique
+    assert len(clique) == 15, clique
+    guarded_pairs, guarded = corp_pairs(4)
+    # guarded: the 6-member "corp" bucket is dropped; only pairs that
+    # also collide on a (≤4-member) minhash band bucket may remain
+    assert len(guarded) < 15, "hot bucket not dropped"
+    assert ("zenith system", "zenith systems") in guarded_pairs or (
+        "zenith systems", "zenith system") in guarded_pairs

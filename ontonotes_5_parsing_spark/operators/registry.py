@@ -40,6 +40,7 @@ from . import (
     relational,
     similarity,
     text,
+    webtext,
 )
 
 ALL_QUERIES: dict = {}
@@ -48,6 +49,7 @@ for module in (
     text,
     quality,
     cleaning,
+    webtext,
     dedup,
     similarity,
     eventsops,

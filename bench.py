@@ -13,6 +13,7 @@ count()/collect() so the measured time includes the full plan.
 from __future__ import annotations
 
 import json
+import gc
 import os
 import sys
 import time
@@ -132,8 +133,11 @@ def main() -> int:
         # exactly that on win_customer_running_spend / txt_token_stats)
         while reps_done < 4 or (best < 2.0 and reps_done < 6):
             # memoized queries must rebuild per repetition or min-of-N
-            # would time only the cached tail
+            # would time only the cached tail; gc.collect releases the
+            # py4j refs of the PREVIOUS rep's checkpointed blocks so
+            # ContextCleaner can unpersist them instead of accumulating
             _dedup._JACCARD_CACHE.clear()
+            gc.collect()
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -172,6 +176,7 @@ def main() -> int:
         else:
             fn, _sql = ALL_QUERIES[name]
             _dedup._JACCARD_CACHE.clear()
+            gc.collect()
             t0 = time.time()
             fn(spark, sf_dir).count()
             timings[name] = round(min(timings[name], time.time() - t0), 3)

@@ -522,6 +522,102 @@ ORDER BY pagerank DESC, canonical LIMIT 20
 SQL_KG_PAGERANK = _pr_sql()
 
 
+# --- incremental snapshot merge (the daily-crawl-increment lifecycle) ------
+def q_kg_merge_increment(spark, sf_dir):
+    """Merge two independently-aggregated crawl batches into one KG
+    node snapshot, and re-pick canonicals from the MERGED state.
+
+    The production lifecycle at 10^12 documents is incremental: each
+    crawl batch aggregates its own (surface, ent_type) mention counts;
+    a merge sums the partial counts (associative — no re-scan of old
+    batches) and re-runs the canonical pick per component, which may
+    CHANGE the canonical when an increment shifts the frequency order.
+    Here the two batches are a deterministic md5-parity split of the
+    materialized mentions table, so merged counts must equal the
+    direct whole-corpus aggregation (pinned in tests/test_kg_merge.py)
+    and DuckDB replays the identical merge from the same parquet.
+
+    Output: (component, canonical, ent_type, n_mentions, n_surfaces,
+    n_batches) — n_batches = batches contributing to the canonical
+    surface's count (1 or 2), all exact ints/strings.
+    """
+    base = _materialize_for_oracle(spark, sf_dir)
+    mentions = spark.read.parquet(f"{base}/mentions.parquet")
+    linked = spark.read.parquet(f"{base}/linked.parquet")
+    batch = F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long"), F.lit(2)
+    ).alias("batch")
+    # per-batch partial aggregates (what each crawl increment ships)
+    partial = (
+        mentions.select("surface", "ent_type", batch)
+        .groupBy("surface", "ent_type", "batch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # associative merge of the partials
+    merged = partial.groupBy("surface", "ent_type").agg(
+        F.sum("cnt").alias("n_mentions"),
+        F.countDistinct("batch").alias("n_batches"),
+    )
+    comp = linked.select("surface", "ent_type", "component")
+    joined = merged.join(F.broadcast(comp), ["surface", "ent_type"])
+    per_component = joined.groupBy("component").agg(
+        F.min_by(
+            F.struct("surface", "ent_type", "n_batches"),
+            F.struct(
+                (-F.col("n_mentions")).alias("neg_freq"),
+                F.length("surface").alias("len"),
+                F.col("surface"),
+                F.col("ent_type"),
+            ),
+        ).alias("canon"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+    )
+    return per_component.select(
+        "component",
+        F.col("canon.surface").alias("canonical"),
+        F.col("canon.ent_type").alias("ent_type"),
+        "n_mentions",
+        "n_surfaces",
+        F.col("canon.n_batches").alias("n_batches"),
+    )
+
+
+SQL_KG_MERGE_INCREMENT = f"""
+WITH m AS (
+  SELECT surface, ent_type,
+         CAST('0x' || substr(md5(url), 1, 15) AS BIGINT) % 2 AS batch
+  FROM '{ORACLE_ROOT}/{_ORACLE_SF}/mentions.parquet/*.parquet'
+), partial AS (
+  SELECT surface, ent_type, batch, count(*) AS cnt
+  FROM m GROUP BY surface, ent_type, batch
+), merged AS (
+  SELECT surface, ent_type,
+         CAST(sum(cnt) AS BIGINT) AS n_mentions,
+         count(DISTINCT batch)    AS n_batches
+  FROM partial GROUP BY surface, ent_type
+), joined AS (
+  SELECT l.component, merged.surface, merged.ent_type,
+         merged.n_mentions, merged.n_batches
+  FROM merged
+  JOIN '{ORACLE_ROOT}/{_ORACLE_SF}/linked.parquet/*.parquet' l
+    ON merged.surface = l.surface AND merged.ent_type = l.ent_type
+), ranked AS (
+  SELECT component, surface, ent_type, n_batches,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY n_mentions DESC, length(surface), surface, ent_type
+         ) AS rn,
+         sum(n_mentions) OVER (PARTITION BY component) AS total_mentions,
+         count(*) OVER (PARTITION BY component) AS n_surfaces
+  FROM joined
+)
+SELECT component, surface AS canonical, ent_type,
+       CAST(total_mentions AS BIGINT) AS n_mentions, n_surfaces, n_batches
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "kg_triples": (q_kg_triples, None),
     "kg_degree_top": (q_kg_degree_top, SQL_KG_DEGREE_TOP),
@@ -532,4 +628,5 @@ QUERIES = {
     "kg_edges_top": (q_kg_edges_top, SQL_KG_EDGES_TOP),
     "kg_label_reduce": (q_kg_label_reduce, SQL_KG_LABEL_REDUCE),
     "kg_split_rollup": (q_kg_split_rollup, SQL_KG_SPLIT_ROLLUP),
+    "kg_merge_increment": (q_kg_merge_increment, SQL_KG_MERGE_INCREMENT),
 }

@@ -41,11 +41,16 @@ def main() -> int:
     best: dict[int, dict] = {}
     by_round: dict[int, dict[int, float]] = defaultdict(dict)
     for r in runs:
+        # tagged one-off runs carry master but not cores/round
+        if "cores" not in r:
+            m = r.get("master", "")
+            r["cores"] = int(m[m.index("[") + 1 : m.index("]")]) if "[" in m else 0
         c = r["cores"]
         if c not in best or r["triples_per_sec"] > best[c]["triples_per_sec"]:
             best[c] = r
-        prev = by_round[r["round"]].get(c, 0.0)
-        by_round[r["round"]][c] = max(prev, r["triples_per_sec"])
+        if "round" in r:
+            prev = by_round[r["round"]].get(c, 0.0)
+            by_round[r["round"]][c] = max(prev, r["triples_per_sec"])
 
     print(f"samples: {len(runs)} runs, {len(refs)} reference, {len(hw)} hardware")
     print("\n| Config | triples wall sec | triples/sec | n samples |")

@@ -87,11 +87,17 @@ def main() -> int:
     # to kg_pipeline_link_canonicalize, not to the triples stage
     from ontonotes_5_parsing_spark.corpus import read_web_pages
 
-    # pid-keyed so concurrent runs from different checkouts sharing an
-    # sf_dir basename never overwrite each other's input mid-run
+    # keyed by a hash of the ABSOLUTE sf_dir plus pid so concurrent runs
+    # from different checkouts (or different dirs sharing a basename)
+    # never overwrite each other's input mid-run
+    import hashlib
+
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
     pages_path = (
         f"/tmp/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}.parquet"
+        f"_{sf_tag}_{os.getpid()}.parquet"
     )
     web_pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(pages_path)
 

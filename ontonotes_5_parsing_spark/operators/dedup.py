@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
+from ..session import session_cache_key
 
 
 def _hash_fn(k: int):
@@ -105,7 +106,7 @@ def q_jaccard_pairs(spark, sf_dir):
     # re-entered by q_dedup_components and by bench's min-of-N loop —
     # without the cache each re-entry re-materializes the checkpoint
     # blocks and the old ones linger until ContextCleaner GC.
-    _jkey = (id(spark), sf_dir)
+    _jkey = (session_cache_key(spark), sf_dir)
     if _jkey in _JACCARD_CACHE:
         return _JACCARD_CACHE[_jkey]
     # Token sets are dictionary-encoded as xxhash64 int64 arrays AT THE

@@ -271,6 +271,12 @@ def q_json_props(spark, sf_dir):
             # round(avg,4) hash-failed at the driver because DuckDB's
             # sum/avg intermediates are HUGEINT; pure integer arithmetic
             # at the boundary is bit-identical in both engines.
+            # Sign audit (round-3 ADVICE worried DuckDB // floors while
+            # Spark DIV truncates): measured, DuckDB's integer // ALSO
+            # truncates toward zero (-7 // 2 = -3), so the two agree for
+            # every sign — pinned by
+            # test_float_boundaries.py::
+            # test_integer_division_truncates_identically_both_engines.
             F.expr(
                 "CAST((2000 * sum(k) + count(1)) DIV (2 * count(1)) AS BIGINT)"
             ).alias("avg_k_milli"),
@@ -281,7 +287,8 @@ def q_json_props(spark, sf_dir):
 SQL_JSON_PROPS = """
 SELECT event_type,
        count(*)                                              AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT)                                          AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST((2000 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -61,7 +61,8 @@ ITER_ROUND = "iter_round"
 # (query_name, column_name) -> provenance class
 FLOAT_PROVENANCE: dict[tuple[str, str], str] = {
     # ---- graded window ----
-    ("kg_pagerank", "pagerank"): ITER_ROUND,
+    # kg_pagerank emits an exact scaled-integer rank (pagerank_e12
+    # BIGINT) since round 4 — no float at the boundary anymore.
     ("media_image_features", "mean_px"): INT_RATIO,  # px_sum/n_px, exact ints
     ("media_audio_features", "rms"): INT_RATIO,  # sqrt(sq_sum/n), exact ints
     ("media_video_frames", "ts_offset_sec"): INT_RATIO,  # frame_idx/fps

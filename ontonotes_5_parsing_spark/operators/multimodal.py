@@ -29,6 +29,7 @@ from ..pipeline.media import (
     media_df,
     sample_frames,
 )
+from ..session import session_cache_key
 
 N_MEDIA = 120
 
@@ -42,7 +43,7 @@ def _materialize_media(spark, sf_dir: str) -> str:
     once per session; every media query (Spark and DuckDB) reads from
     these files so both engines see identical payload bytes."""
     base = f"{MEDIA_ORACLE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
-    key = (id(spark), base)
+    key = (session_cache_key(spark), base)
     if key not in _MEDIA_DONE:
         media = media_df(spark, N_MEDIA).persist()
         media.select("media_id", "kind", "payload").write.mode(

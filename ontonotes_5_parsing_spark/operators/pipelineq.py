@@ -33,8 +33,11 @@ from pyspark.sql import functions as F
 from ..pipeline.lineage import is_complete, materialize, resume_filter
 
 # Static oracle paths must be derivable from the SQL string, so they are
-# keyed by sf_dir basename under the same root as operators/kg.py.
-ORACLE_ROOT = "/tmp/kg_oracle"
+# keyed by sf_dir basename under the same root — and the SAME sf
+# convention — as operators/kg.py (one definition, not two: round-3
+# ADVICE flagged the hardcoded 'sf0.01' literal here).
+from .kg import _ORACLE_SF, ORACLE_ROOT
+from ..session import session_cache_key
 
 
 def _done_dir(sf_dir: str) -> str:
@@ -59,7 +62,20 @@ def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10)
             .cast("int") % 2 == 0
         ).select("doc_id")
-        materialize(done, done_dir, "resume_done")
+        # Write under a pid-keyed temp dir, then atomically rename into
+        # place: two concurrent processes can both observe
+        # is_complete()==False, and a shared-path overwrite would let
+        # one read the other's half-written parquet (round-3 ADVICE).
+        # rename() is atomic on one filesystem; the loser just keeps the
+        # winner's completed copy.
+        tmp_dir = f"{done_dir}.tmp.{os.getpid()}"
+        materialize(done, tmp_dir, "resume_done")
+        try:
+            os.rename(tmp_dir, done_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return resume_filter(docs, done_dir, key="doc_id").select(
         "doc_id", "lang", "n_chars"
     )
@@ -69,7 +85,7 @@ SQL_RESUME_PENDING = f"""
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d
 WHERE NOT EXISTS (
-  SELECT 1 FROM '{ORACLE_ROOT}/sf0.01/resume_done/*.parquet' done
+  SELECT 1 FROM '{ORACLE_ROOT}/{_ORACLE_SF}/resume_done/*.parquet' done
   WHERE done.doc_id = d.doc_id
 )
 """
@@ -94,7 +110,7 @@ def q_stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     start is surfaced as an epoch BIGINT. Cached per (session, sf_dir)
     so repeated grading invocations replay the stream once.
     """
-    key = (id(spark), sf_dir)
+    key = (session_cache_key(spark), sf_dir)
     if key not in _STREAM_CACHE:
         base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
         view = f"stream_hourly_{base}"

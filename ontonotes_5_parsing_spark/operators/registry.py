@@ -86,10 +86,14 @@ GRADED_ORDER = [
     # -- round-3 new shapes --
     "lineage_resume_pending",
     "stream_hourly_parity",
+    # -- round-4 rotation: the incremental snapshot-merge lifecycle gets
+    #    its first driver row (VERDICT r3 ask #3); txt_fingerprints
+    #    rotated out (family still covered by txt_langid +
+    #    txt_token_stats; stays in ALL_QUERIES under the local gate) --
+    "kg_merge_increment",
     # -- text analysis --
     "txt_token_stats",
     "txt_lang_frequencies",
-    "txt_fingerprints",
     "txt_vocab_reduce",
     "txt_langid",
     "txt_split_routing",

@@ -54,3 +54,14 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_cache_key(spark: SparkSession) -> str:
+    """Stable per-session key for module-level DataFrame caches.
+
+    ``id(spark)`` is NOT safe: after a stopped session is
+    garbage-collected, CPython can recycle the id for a new session and
+    the cache would hand back DataFrames bound to a dead SparkContext
+    (round-3 ADVICE). ``applicationId`` is unique per SparkContext.
+    """
+    return spark.sparkContext.applicationId

@@ -29,6 +29,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import session_cache_key
 
 N_BUCKETS = 8
 DB = "kgbucketed"
@@ -70,7 +71,7 @@ def ensure_bucketed_documents(spark: SparkSession, sf_dir: str) -> tuple[str, st
     base = _table_base(sf_dir)
     docs_t = f"{DB}.docs_{base}"
     stats_t = f"{DB}.stats_{base}"
-    key = (id(spark), sf_dir)
+    key = (session_cache_key(spark), sf_dir)
     if key in _READY:
         return docs_t, stats_t
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{WAREHOUSE}'")

@@ -108,5 +108,34 @@ def test_graded_window_shape():
     assert len(set(GRADED_ORDER)) == 50
     kg = [q for q in GRADED_ORDER if q.startswith("kg_")]
     media = [q for q in GRADED_ORDER if q.startswith("media_")]
-    assert len(kg) == 9, kg
+    # 10 since round 4: kg_merge_increment rotated in (VERDICT r3 #3)
+    assert len(kg) == 10, kg
     assert len(media) == 4, media
+
+
+def test_integer_division_truncates_identically_both_engines(spark):
+    """Round-3 ADVICE worried the avg_k_milli boundary diverges on
+    negative numerators because "Spark DIV truncates, DuckDB // floors".
+    Measured, the premise is false: DuckDB's INTEGER // also truncates
+    toward zero (-7 // 2 = -3, unlike Python's floor -4), so Spark DIV
+    and DuckDB // agree for EVERY sign and no emulation is needed. Pin
+    that agreement here so a DuckDB semantics change would surface."""
+    import duckdb
+
+    cases = [(-7, 2), (7, 2), (-8, 2), (0, 2), (-1, 3), (1, 3), (-9, 4)]
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = {
+        (r.n, r.d): r.q for r in df.selectExpr("n", "d", "n DIV d AS q").collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        (n, d): q
+        for n, d, q in con.execute(
+            "SELECT n, d, n // d FROM (VALUES "
+            + ", ".join(f"({n}, {d})" for n, d in cases)
+            + ") t(n, d)"
+        ).fetchall()
+    }
+    for n, d in cases:
+        trunc = abs(n) // d * (1 if n >= 0 else -1)
+        assert got[(n, d)] == duck[(n, d)] == trunc, (n, d, got[(n, d)], duck[(n, d)])

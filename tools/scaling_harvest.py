@@ -57,8 +57,12 @@ def main() -> int:
     print("|---|---|---|---|")
     if refs:
         rb = max(refs, key=lambda r: r["triples_per_sec"])
+        # prefer the triples-specific wall field so the column compares
+        # like quantities with the engine rows; reference records where
+        # the whole run IS triple extraction report it as wall_sec
+        ref_wall = rb.get("triples_wall_sec", rb["wall_sec"])
         print(
-            f"| reference single-process | {rb['wall_sec']} | "
+            f"| reference single-process | {ref_wall} | "
             f"{rb['triples_per_sec']} | {len(refs)} |"
         )
     for c in sorted(best):

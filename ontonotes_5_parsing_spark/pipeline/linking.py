@@ -112,18 +112,9 @@ def candidate_pairs(vocab_with_bands: DataFrame) -> DataFrame:
         "ent_type",
         F.explode("bands").alias("b"),
     ).select("vertex_id", "norm", "ent_type", "b.band", "b.bh")
-    # localCheckpoint, not just persist: the minhash banding is a very
-    # large expression tree (12 × array_min(transform(shingles, …))),
-    # and this DF feeds THREE plan branches (bucket sizing + both
-    # self-join sides) — without the lineage cut Catalyst re-canonicalizes
-    # the giant tree per branch per action and planning time dominates
-    # the whole link stage (~3× the actual data work at bench scale).
-    # At production scale this materialization is the blocked-keys stage
-    # table the lineage/resume protocol writes anyway (SURVEY.md §7).
-    exploded = exploded.localCheckpoint(eager=True)
     # bucket-size guard as a window count over the blocking key: one
     # shuffle of `exploded`, and the output stays hash-partitioned on
-    # (ent_type, band, bh) so the self-join below reuses the exchange
+    # (ent_type, band, bh) so the self-join below reuses the partitioning
     # instead of re-shuffling both sides (the groupBy-sizes + re-join
     # spelling costs two extra shuffles of the same data)
     from pyspark.sql import Window
@@ -134,6 +125,25 @@ def candidate_pairs(vocab_with_bands: DataFrame) -> DataFrame:
         .filter(F.col("bucket_n") <= MAX_BUCKET)
         .drop("bucket_n")
     )
+    # localCheckpoint, not just persist: the minhash banding is a very
+    # large expression tree (12 × array_min(transform(shingles, …))),
+    # and this DF feeds both self-join sides — without the lineage cut
+    # Catalyst re-canonicalizes the giant tree per branch per action and
+    # planning time dominates the whole link stage (~3× the actual data
+    # work at bench scale). Round-4: the cut sits AFTER the window
+    # filter (fused into the same pass, VERDICT r3 #5), so the exploded
+    # keys are evaluated and materialized ONCE — post-guard, already
+    # hash-partitioned on the join key — instead of checkpoint-then-
+    # shuffle writing the pre-filter set twice. At production scale this
+    # materialization is the blocked-keys stage table the lineage/resume
+    # protocol writes anyway (SURVEY.md §7).
+    # eager=False: the logical plan is already the truncated LogicalRDD
+    # (what kills the planning blowup), while the RDD itself
+    # materializes inside the first pairs action — one fewer sequential
+    # job barrier than an eager checkpoint. Both self-join branches
+    # reference the SAME RDD, so its stage is computed once and the
+    # persisted partitions are reused.
+    exploded = exploded.localCheckpoint(eager=False)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -183,6 +193,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 12,
     driver_side_max_edges: int = 2_000_000,
+    mapping_only: bool = False,
 ) -> DataFrame:
     """Bounded label propagation: component = min vertex_id reachable.
 
@@ -198,6 +209,16 @@ def connected_components(
     distinct-surface vocabulary is orders of magnitude smaller than the
     corpus) this keeps each round a handful of tasks instead of
     shuffle.partitions-many near-empty ones.
+
+    ``mapping_only=True`` (round-4, VERDICT r3 #5): callers that will
+    left-join the result onto a vertex-bearing frame anyway (and
+    coalesce missing components to identity) don't need the complete
+    per-vertex labeling — on the driver-side branch this returns just
+    the broadcast-hinted remap rows, so neither the vertices plan nor
+    the identity join ever execute (two fewer jobs in the link stage).
+    The distributed branch still returns complete labels (a valid
+    superset of the remap rows — the outer join semantics are
+    unchanged).
     """
     spark = vertices.sparkSession
 
@@ -219,6 +240,10 @@ def connected_components(
     # than count + collect.
     n_edges = edges.count()
     if n_edges == 0:
+        if mapping_only:
+            return F.broadcast(
+                spark.createDataFrame([], "vertex_id long, component long")
+            )
         return vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     if n_edges <= driver_side_max_edges:
         edge_rows = edges.select("src", "dst").collect()
@@ -240,6 +265,14 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         mapping = [(v, find(v)) for v in list(parent)]
+        if mapping_only:
+            if not mapping:
+                return F.broadcast(
+                    spark.createDataFrame([], "vertex_id long, component long")
+                )
+            return F.broadcast(
+                spark.createDataFrame(mapping, ["vertex_id", "component"])
+            )
         if not mapping:
             return vertices.select(
                 "vertex_id", F.col("vertex_id").alias("component")
@@ -315,8 +348,11 @@ def link_entities(mentions: DataFrame) -> DataFrame:
     # pairs feed both the edge count and the collect/propagation inside
     # connected_components — persist so the LSH self-join runs once
     pairs = score_pairs(candidate_pairs(banded)).persist()
+    # mapping_only: the left join + coalesce below completes partial
+    # remap rows to the identity labeling, so on the driver-side CC
+    # branch the vertices plan (a distinct over vocab) never executes
     components = connected_components(
-        vocab.select("vertex_id").distinct(), pairs
+        vocab.select("vertex_id").distinct(), pairs, mapping_only=True
     )
     return vocab.join(components, "vertex_id", "left").withColumn(
         "component", F.coalesce("component", "vertex_id")

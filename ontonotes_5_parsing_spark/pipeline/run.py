@@ -14,6 +14,8 @@ stages on re-run (BASELINE.json:14).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 from . import lineage
@@ -49,10 +51,58 @@ def build_extraction(pages: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+_STATIC_PLAN_MAX_BYTES = 512 << 20  # 512 MiB optimizer estimate
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (bytes); conservative
+    (very large) when stats are unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — any py4j hiccup → assume big
+        return 1 << 62
+
+
+@contextmanager
+def _static_plan_if_small(spark, probe: DataFrame):
+    """Run the enclosed actions without adaptive execution when the
+    probe input is small.
+
+    Every shuffle in the graph phase is vocabulary-sized by
+    construction (the corpus-scale work — the mentions scan feeding the
+    salted vocab aggregation, the triples scan feeding the edge
+    aggregation — is map-side; what shuffles is per-key partials), so
+    AQE's runtime re-planning has nothing to optimize there, while its
+    mechanics cost one scheduled job per query stage: measured at
+    bench sf0.1, the link stage is 24 jobs/76 stages with AQE vs 8
+    jobs/29 stages without, identical results. Below a size threshold
+    the static plan wins outright; above it we keep AQE (its skew/
+    coalescing value on genuinely large inputs outweighs scheduling)."""
+    if _plan_size_bytes(probe) > _STATIC_PLAN_MAX_BYTES:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def build_graph(mentions: DataFrame, triples: DataFrame) -> dict[str, DataFrame]:
-    """mentions/triples → linked/nodes/edges (runs eager CC actions)."""
-    linked = link_entities(mentions).persist()
-    nodes, edges = build_nodes_edges(triples, linked)
+    """mentions/triples → linked/nodes/edges.
+
+    Eager: the connected-components actions run here, and nodes/edges
+    are persisted and materialized inside the static-plan scope so the
+    whole graph phase executes under one planning mode."""
+    spark = mentions.sparkSession
+    with _static_plan_if_small(spark, mentions):
+        linked = link_entities(mentions).persist()
+        nodes, edges = build_nodes_edges(triples, linked)
+        nodes = nodes.persist()
+        edges = edges.persist()
+        edges.count()
+        nodes.count()
     return {"linked": linked, "nodes": nodes, "edges": edges}
 
 
@@ -80,19 +130,22 @@ def run_pipeline(
     sentences = stage("sentences", lambda: parse_stage(extracted))
     mentions = stage("mentions", lambda: mentions_stage(sentences))
     triples = stage("triples", lambda: triples_stage(sentences, mentions))
-    linked = stage("linked", lambda: link_entities(mentions))
-    nodes_edges: dict[str, DataFrame] = {}
+    with _static_plan_if_small(spark, mentions):
+        linked = stage("linked", lambda: link_entities(mentions))
+        nodes_edges: dict[str, DataFrame] = {}
 
-    def build_nodes() -> DataFrame:
-        n, e = build_nodes_edges(triples, linked)
-        nodes_edges["edges_df"] = e
-        return n
+        def build_nodes() -> DataFrame:
+            n, e = build_nodes_edges(triples, linked)
+            nodes_edges["edges_df"] = e
+            return n
 
-    nodes = stage("nodes", build_nodes, partition_by=["ent_type"])
-    edges = stage(
-        "edges",
-        lambda: nodes_edges.get("edges_df", build_nodes_edges(triples, linked)[1]),
-    )
+        nodes = stage("nodes", build_nodes, partition_by=["ent_type"])
+        edges = stage(
+            "edges",
+            lambda: nodes_edges.get(
+                "edges_df", build_nodes_edges(triples, linked)[1]
+            ),
+        )
     return {
         "extracted": extracted,
         "sentences": sentences,

@@ -20,7 +20,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from ontonotes_5_parsing_spark.corpus import web_pages_from_documents
-    from ontonotes_5_parsing_spark.pipeline import build_extraction
+    from ontonotes_5_parsing_spark.pipeline.run import build_extraction
     from ontonotes_5_parsing_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

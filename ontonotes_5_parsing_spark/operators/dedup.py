@@ -100,29 +100,27 @@ JACCARD_THRESHOLD = 0.5
 _JACCARD_CACHE: dict = {}
 
 
-def q_jaccard_pairs(spark, sf_dir):
-    # Memoized per (session, sf_dir): the eager localCheckpoints below
-    # run Spark jobs at DataFrame-construction time, and this query is
-    # re-entered by q_dedup_components and by bench's min-of-N loop —
-    # without the cache each re-entry re-materializes the checkpoint
-    # blocks and the old ones linger until ContextCleaner GC.
-    _jkey = (session_cache_key(spark), sf_dir)
-    if _jkey in _JACCARD_CACHE:
-        return _JACCARD_CACHE[_jkey]
-    # Token sets are dictionary-encoded as xxhash64 int64 arrays AT THE
-    # SCAN (the standard shingle-encoding trick): set cardinalities —
-    # hence every Jaccard value — are preserved (64-bit collisions are
-    # ~|A||B|/2^64 per pair, i.e. never), and no string leaves the scan:
-    # df-counting, the canonical prefix order, the candidate join, and
-    # the per-pair intersection all run on longs (measured ~8% faster
-    # than the string-ordered form at sf0.1, identical output).
-    # localCheckpoint: the hashed-token array feeds THREE plan branches
-    # (prefix generation + both exact-verify sides) — the lineage cut
-    # materializes the tokenization once instead of three times and keeps
-    # the multi-branch plan small (same disease/cure as linking.py's
-    # banding keys; at production scale this is the encoded-tokens stage
-    # table the lineage protocol would write anyway)
-    docs = _docs(spark, sf_dir).select(
+def _jaccard_pairs_plan(spark, base):
+    """Construct the lazy verified-pairs frame over `base` (documents):
+    dictionary-encode token sets, AllPairs/PPJoin prefix-filtered
+    candidate join, exact Jaccard verify. No memoization and no final
+    materialization — plan-shape tests inspect THIS frame (the public
+    query materializes it, which collapses the plan to a LogicalRDD
+    scan).
+
+    Token sets are dictionary-encoded as xxhash64 int64 arrays AT THE
+    SCAN (the standard shingle-encoding trick): set cardinalities —
+    hence every Jaccard value — are preserved (64-bit collisions are
+    ~|A||B|/2^64 per pair, i.e. never), and no string leaves the scan:
+    df-counting, the canonical prefix order, the candidate join, and
+    the per-pair intersection all run on longs (measured ~8% faster
+    than the string-ordered form at sf0.1, identical output). The two
+    inner localCheckpoints cut lineage where one frame feeds multiple
+    plan branches (tokenization → prefix + both verify sides; prefixes
+    → both self-join sides) — same disease/cure as linking.py's banding
+    keys; at production scale these are the encoded-tokens stage tables
+    the lineage protocol would write anyway."""
+    docs = base.select(
         "doc_id",
         "source",
         F.transform(
@@ -202,6 +200,32 @@ def q_jaccard_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return out
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    # Memoized per (session, sf_dir): the eager localCheckpoints below
+    # run Spark jobs at DataFrame-construction time, and this query is
+    # re-entered by q_dedup_components and by bench's min-of-N loop —
+    # without the cache each re-entry re-materializes the checkpoint
+    # blocks and the old ones linger until ContextCleaner GC.
+    _jkey = (session_cache_key(spark), sf_dir)
+    if _jkey in _JACCARD_CACHE:
+        return _JACCARD_CACHE[_jkey]
+    # Same scheduling cut as the KG graph phase (pipeline/run.py): at
+    # small input sizes AQE's one-job-per-query-stage mechanics dominate
+    # this query (measured 11 jobs/48 stages/54 tasks per run at sf0.1 —
+    # nearly every stage single-task), while every post-encode shuffle
+    # is postings/pairs-sized. Below the size gate the whole build —
+    # including the verified-pairs materialization — runs as static
+    # plans; at corpus scale AQE stays on for the token-keyed join.
+    from ..pipeline.run import _static_plan_if_small
+
+    base = _docs(spark, sf_dir)
+    with _static_plan_if_small(spark, base):
+        # materialized while still inside the static-plan scope, so the
+        # caller's action is a cached-scan job regardless of planner mode
+        out = _jaccard_pairs_plan(spark, base).localCheckpoint(eager=True)
     _JACCARD_CACHE[_jkey] = out
     return out
 

@@ -87,9 +87,18 @@ def test_jaccard_candidate_join_is_token_keyed(spark):
     quadratic at 100×. The equi-join keys of every join in the plan are
     inspected — the candidate join is the one pairing two doc_ids, and
     its key set must include token."""
-    from ontonotes_5_parsing_spark.operators.dedup import q_jaccard_pairs
+    from ontonotes_5_parsing_spark.operators.dedup import (
+        _docs,
+        _jaccard_pairs_plan,
+    )
 
-    plan = q_jaccard_pairs(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # inspect the lazy plan builder: the public q_jaccard_pairs
+    # materializes the verified pairs (round-4 static-plan scope), which
+    # collapses its executed plan to a LogicalRDD scan
+    plan = (
+        _jaccard_pairs_plan(spark, _docs(spark, SF))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     join_lines = [
         ln for ln in plan.splitlines()
         if re.search(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\b", ln)
@@ -137,9 +146,16 @@ def test_jaccard_tokenization_lineage_is_cut(spark):
     feed three branches (prefix generation + both exact-verify sides);
     the plan must scan the checkpointed tokens, not recompute the
     tokenize-hash transform per branch."""
-    from ontonotes_5_parsing_spark.operators.dedup import q_jaccard_pairs
+    from ontonotes_5_parsing_spark.operators.dedup import (
+        _docs,
+        _jaccard_pairs_plan,
+    )
 
-    plan = q_jaccard_pairs(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # the lazy builder, for the same reason as the candidate-join test
+    plan = (
+        _jaccard_pairs_plan(spark, _docs(spark, SF))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "ExistingRDD" in plan
     # the xxhash64 tokenize transform ran before the checkpoint; the
     # downstream plan must not re-derive toks from `text`

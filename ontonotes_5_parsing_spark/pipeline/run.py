@@ -42,7 +42,11 @@ def build_extraction(pages: DataFrame) -> dict[str, DataFrame]:
     """
     sentences = extract_parse_stage(pages, lean=True, coref=True).persist()
     mentions = mentions_from_parsed(sentences).persist()
-    triples = triples_from_parsed(sentences)
+    # triples also has two consumers (the stage count/sink and the edge
+    # aggregation in build_graph) — persisted so the explode from cached
+    # sentences runs once; the checkpointed work_dir path materializes
+    # to parquet instead and never reaches this builder's persist
+    triples = triples_from_parsed(sentences).persist()
     return {
         "extracted": extract_stage(pages),
         "sentences": sentences,

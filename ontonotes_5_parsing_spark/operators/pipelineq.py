@@ -75,7 +75,16 @@ def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             import shutil
 
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+            # A failed rename is only a benign lost race if the winner's
+            # copy is actually complete. A stale manifest-less done_dir
+            # (crashed pre-round-5 run) would otherwise block the rename
+            # forever while resume_filter happily reads the stale parquet
+            # — a persistent cross-engine mismatch (round-4 ADVICE).
+            if not is_complete(done_dir):
+                shutil.rmtree(done_dir, ignore_errors=True)
+                os.rename(tmp_dir, done_dir)  # raise if still blocked
+            else:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
     return resume_filter(docs, done_dir, key="doc_id").select(
         "doc_id", "lang", "n_chars"
     )

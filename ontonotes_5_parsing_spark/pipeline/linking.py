@@ -213,12 +213,11 @@ def connected_components(
     ``mapping_only=True`` (round-4, VERDICT r3 #5): callers that will
     left-join the result onto a vertex-bearing frame anyway (and
     coalesce missing components to identity) don't need the complete
-    per-vertex labeling — on the driver-side branch this returns just
-    the broadcast-hinted remap rows, so neither the vertices plan nor
-    the identity join ever execute (two fewer jobs in the link stage).
-    The distributed branch still returns complete labels (a valid
-    superset of the remap rows — the outer join semantics are
-    unchanged).
+    per-vertex labeling — this returns just the remap rows (component !=
+    vertex_id) on BOTH branches; the driver-side branch additionally
+    broadcast-hints them and never executes the vertices plan or the
+    identity join (two fewer jobs in the link stage). The result is only
+    valid under left-join + coalesce-to-identity.
     """
     spark = vertices.sparkSession
 
@@ -332,6 +331,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if mapping_only:
+        # Same contract as the driver-side branch (round-4 ADVICE):
+        # remap rows only — callers left-join and coalesce to identity,
+        # so identity rows are redundant weight in the result.
+        return labels.filter(F.col("component") != F.col("vertex_id"))
     return labels
 
 

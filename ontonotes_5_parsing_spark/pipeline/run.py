@@ -14,6 +14,7 @@ stages on re-run (BASELINE.json:14).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -67,6 +68,18 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+# The static-plan scope flips a *session-global* conf, so concurrent
+# scopes on one session must serialize: an RLock (same thread may nest —
+# run_pipeline's checkpointed path wraps multiple stage builders) plus a
+# depth counter so only the outermost scope toggles/restores. A thread
+# that merely *plans a query* during another thread's scope still sees
+# AQE off — that is the documented single-controller contract; the lock
+# guarantees the stronger invariant that scopes themselves can never
+# interleave and leave AQE permanently off (round-4 ADVICE / VERDICT #6).
+_aqe_scope_lock = threading.RLock()
+_aqe_scope_depth = 0
+
+
 @contextmanager
 def _static_plan_if_small(spark, probe: DataFrame):
     """Run the enclosed actions without adaptive execution when the
@@ -82,15 +95,22 @@ def _static_plan_if_small(spark, probe: DataFrame):
     jobs/29 stages without, identical results. Below a size threshold
     the static plan wins outright; above it we keep AQE (its skew/
     coalescing value on genuinely large inputs outweighs scheduling)."""
+    global _aqe_scope_depth
     if _plan_size_bytes(probe) > _STATIC_PLAN_MAX_BYTES:
         yield
         return
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _aqe_scope_lock:
+        _aqe_scope_depth += 1
+        outermost = _aqe_scope_depth == 1
+        if outermost:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            _aqe_scope_depth -= 1
+            if outermost:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def build_graph(mentions: DataFrame, triples: DataFrame) -> dict[str, DataFrame]:

@@ -34,6 +34,32 @@ def test_resume_pending_is_deterministic(spark):
     assert first == second
 
 
+def test_resume_pending_recovers_from_stale_done_dir(spark, tmp_path, monkeypatch):
+    """A crashed earlier run can leave a manifest-less done_dir. The
+    rename then fails forever while resume_filter reads the stale
+    parquet (round-4 ADVICE). The writer must detect the incomplete
+    winner, remove it, and install its own complete copy."""
+    import os
+
+    import ontonotes_5_parsing_spark.operators.pipelineq as pq
+    from ontonotes_5_parsing_spark.pipeline.lineage import is_complete
+
+    stale = tmp_path / "resume_done"
+    stale.mkdir()
+    # half-written parquet, no _lineage.json manifest → is_complete False
+    (stale / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+    monkeypatch.setattr(pq, "_done_dir", lambda _sf: str(stale))
+    assert not is_complete(str(stale))
+
+    pending = q_resume_pending(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    done = spark.read.parquet(str(stale)).select("doc_id")
+    assert is_complete(str(stale))  # recovered: complete copy installed
+    assert not os.path.exists(str(stale) + f".tmp.{os.getpid()}")
+    assert pending.count() + done.count() == docs.count()
+    assert pending.join(done, "doc_id").count() == 0
+
+
 def test_stream_hourly_matches_batch(spark):
     """The availableNow replay's final complete-mode state must equal
     the batch GROUP BY bit-for-bit (counts and id extrema are exact

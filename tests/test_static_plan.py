@@ -46,6 +46,66 @@ def test_static_plan_noop_when_probe_is_large(spark, monkeypatch):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_static_plan_concurrent_scopes_never_strand_aqe_off(spark):
+    """Two threads opening the scope concurrently on one session must
+    serialize (round-4 ADVICE: overlapping scopes could restore a
+    clobbered value); afterwards AQE is back to the original setting."""
+    import threading
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    df = spark.range(10)
+    inside = []
+    errs = []
+
+    def worker():
+        try:
+            with _static_plan_if_small(spark, df):
+                inside.append(spark.conf.get("spark.sql.adaptive.enabled"))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert inside == ["false"] * 4
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_static_plan_nested_scopes_same_thread(spark):
+    """Nesting (run_pipeline's checkpointed path) must not deadlock and
+    must restore only at the outermost exit."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    df = spark.range(10)
+    with _static_plan_if_small(spark, df):
+        with _static_plan_if_small(spark, df):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_mapping_only_distributed_branch_filters_identity_rows(spark):
+    """Branch-consistent contract (round-4 ADVICE): with the driver-side
+    gate forced off, the distributed loop must also return remap rows
+    only, and left-join + coalesce reconstructs the complete labeling."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 7)], ["vertex_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    remap = connected_components(
+        vertices, edges, mapping_only=True, driver_side_max_edges=0
+    )
+    rows = {(r.vertex_id, r.component) for r in remap.collect()}
+    assert all(v != c for v, c in rows)
+    reconstructed = {
+        (r.vertex_id, r.component)
+        for r in vertices.join(remap, "vertex_id", "left")
+        .withColumn("component", F.coalesce("component", "vertex_id"))
+        .collect()
+    }
+    assert reconstructed == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+
+
 def test_mapping_only_matches_complete_labeling(spark):
     # two components {1,2,3} and {4,5}; 6 is isolated
     vertices = spark.createDataFrame(

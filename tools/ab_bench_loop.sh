@@ -16,6 +16,7 @@ for i in $(seq 1 "$N"); do
       sleep 30
     done
     J=$(cd "$dir" && timeout 900 python bench.py 2>/dev/null | tail -1)
+    J=${J:-null}  # failed/timed-out run → valid JSON null, not a malformed line
     L2=$(cut -d' ' -f1 /proc/loadavg)
     echo "{\"variant\": \"$variant\", \"round\": $i, \"load_pre\": $L, \"load_post\": $L2, \"bench\": $J}" >> "$LOG"
     sleep 10

@@ -127,9 +127,8 @@ def main() -> int:
             # (int128); fetchall() erases it (plain Python int) but the
             # driver's pandas/Arrow hash path renders it differently —
             # three locally-green queries hash-failed at the driver.
-            # Two defenses: (a) DESCRIBE the oracle and hard-fail on any
-            # HUGEINT-typed driver-facing column; (b) fetch via .df()
-            # (pandas), the conversion the driver's path takes.
+            # Defense (a): DESCRIBE the oracle and hard-fail on any
+            # HUGEINT-typed driver-facing column.
             desc = con.execute(
                 f"DESCRIBE SELECT * FROM ({oracles[name]}) _q"
             ).fetchall()
@@ -143,15 +142,18 @@ def main() -> int:
                       f"driver-facing boundary")
                 n_fail += 1
                 continue
-            ddf = con.execute(oracles[name]).df()
-            dcols = list(ddf.columns)
-            # pandas turns DuckDB DATE into datetime64; Spark returns
-            # datetime.date. Coerce back using the DESCRIBE types so the
-            # string forms match ("2024-01-01", not "2024-01-01 00:00:00").
-            for col, typ, *_ in desc:
-                if typ.upper() == "DATE" and col in ddf.columns:
-                    ddf[col] = ddf[col].dt.date
-            drows = list(ddf.itertuples(index=False, name=None))
+            # Defense (b): fetch via .arrow(), NOT .df() — pandas coerces
+            # nullable BIGINT and DECIMAL to float64 (round-4 ADVICE:
+            # exactness lost above 2^53, '1.5' vs Decimal '1.50'), which
+            # can fake both mismatches and passes the driver won't see.
+            # Arrow preserves int64-with-NULLs (→ None), DECIMAL
+            # (→ decimal.Decimal, same str() as Spark's), and DATE
+            # (→ datetime.date, same str() as Spark's).
+            dtbl = con.execute(oracles[name]).arrow()
+            dcols = list(dtbl.column_names)
+            drows = list(
+                zip(*(dtbl.column(c).to_pylist() for c in dcols))
+            ) if dcols else []
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1

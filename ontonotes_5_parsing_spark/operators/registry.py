@@ -95,13 +95,18 @@ GRADED_ORDER = [
     "txt_token_stats",
     "txt_lang_frequencies",
     "txt_vocab_reduce",
-    "txt_langid",
     "txt_split_routing",
     "txt_quality_filter",
     "txt_hash_sample",
     "txt_ngram_topk",
     "txt_tfidf_top_terms",
     "txt_bpe_tokens",
+    # -- round-5 rotation: first driver row for the webtext family
+    #    (implemented since round 3, never inside the 50-slot window);
+    #    txt_langid rotated out — language-ID stays graded through
+    #    txt_lang_frequencies, and txt_langid remains in ALL_QUERIES
+    #    under the local gate --
+    "pack_token_shards",
     # -- corpus cleaning (round-3 new shapes: broadcast-semi
     #    contamination check, corpus-wide exact-substring chunk dedup) --
     "clean_contamination",

@@ -31,9 +31,11 @@ TABLES = [
 ]
 
 # every operator family that must keep at least one graded row
+# (round-5: "pack_" = the webtext shard-packing family, its first
+# graded representative)
 FAMILIES = [
     "kg_", "media_", "txt_", "clean_", "dedup_", "ann_", "evt_",
-    "win_", "rel_", "lineage_", "stream_",
+    "win_", "rel_", "lineage_", "stream_", "pack_",
 ]
 
 

@@ -724,6 +724,11 @@ def q_kg_merge_increment(spark, sf_dir):
     direct whole-corpus aggregation (pinned in tests/test_kg_merge.py)
     and DuckDB replays the identical merge from the same parquet.
 
+    This query proves the merge ALGEBRA; the batch lifecycle itself —
+    persisted per-batch partials, merge scanning partial parquet only
+    (batch 0's raw pages deleted before the merge), per-batch resume —
+    is pipeline/incremental.py, pinned by tests/test_incremental.py.
+
     Output: (component, canonical, ent_type, n_mentions, n_surfaces,
     n_batches) — n_batches = batches contributing to the canonical
     surface's count (1 or 2), all exact ints/strings.

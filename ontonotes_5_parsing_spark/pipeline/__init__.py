@@ -14,3 +14,4 @@ from .stages import extract_stage, parse_stage, mentions_stage, triples_stage
 from .linking import link_entities
 from .canonicalize import canonical_entities, build_nodes_edges
 from .run import run_pipeline
+from .incremental import ingest_batch, merged_counts, merge_snapshot

@@ -56,16 +56,17 @@ def build_extraction(pages: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-_STATIC_PLAN_MAX_BYTES = 512 << 20  # 512 MiB optimizer estimate
+# shared probe (pipeline/plansize.py); legacy names kept for tests/tools
+from .plansize import STATIC_PLAN_MAX_BYTES as _STATIC_PLAN_MAX_BYTES
+from .plansize import plan_size_bytes as _plan_size_bytes
 
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate for a plan (bytes); conservative
-    (very large) when stats are unavailable."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — any py4j hiccup → assume big
-        return 1 << 62
+# Task-count right-sizing inside the static-plan scope: the scope's own
+# gate proves every shuffle in it is vocabulary-/postings-sized, so 32
+# shuffle partitions means mostly-empty tasks whose scheduling IS the
+# stage cost at bench scale. 8 matches what the CC loop already picks
+# for vocabulary-sized data (~1 partition per 100k vertices, min 1,
+# here bounded by parallelism). Results are partition-count-invariant.
+_STATIC_PLAN_SHUFFLE_PARTITIONS = 8
 
 
 # The static-plan scope flips a *session-global* conf, so concurrent
@@ -104,13 +105,19 @@ def _static_plan_if_small(spark, probe: DataFrame):
         outermost = _aqe_scope_depth == 1
         if outermost:
             prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(prev_parts), _STATIC_PLAN_SHUFFLE_PARTITIONS)),
+            )
         try:
             yield
         finally:
             _aqe_scope_depth -= 1
             if outermost:
                 spark.conf.set("spark.sql.adaptive.enabled", prev)
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def build_graph(mentions: DataFrame, triples: DataFrame) -> dict[str, DataFrame]:

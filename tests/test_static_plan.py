@@ -139,3 +139,62 @@ def test_mapping_only_no_edges(spark):
     remap = connected_components(vertices, edges, mapping_only=True)
     assert remap.count() == 0
     assert remap.columns == ["vertex_id", "component"]
+
+
+def test_assume_driver_side_hint_same_result_and_mis_hint_falls_back(spark):
+    """The small-regime hint folds count+collect into one job; a wrong
+    hint (edges actually above the driver cap) must fall back to the
+    distributed loop with identical results."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 7)], ["vertex_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    expect = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+
+    def complete(cc):
+        return {
+            (r.vertex_id, r.component)
+            for r in vertices.join(cc, "vertex_id", "left")
+            .withColumn("component", F.coalesce("component", "vertex_id"))
+            .collect()
+        }
+
+    hinted = connected_components(
+        vertices, edges, mapping_only=True, assume_driver_side=True
+    )
+    assert complete(hinted) == expect
+    # mis-hint: cap of 1 edge forces the distributed fallback
+    mis = connected_components(
+        vertices, edges, mapping_only=True,
+        assume_driver_side=True, driver_side_max_edges=1,
+    )
+    assert complete(mis) == expect
+
+
+def test_nodes_edges_broadcast_exchange_is_reused(spark):
+    """build_nodes_edges broadcasts the surface→entity mapping on both
+    endpoint joins; under the static-plan scope (AQE off — the regime
+    the graph phase actually runs in) the two BroadcastExchanges must
+    dedupe via ReuseExchange so the mapping is built and shipped once."""
+    from ontonotes_5_parsing_spark.pipeline.canonicalize import build_nodes_edges
+
+    linked = spark.createDataFrame(
+        [("alpha corp", "ORG", 3, 1, 1), ("beta", "PERSON", 2, 2, 2)],
+        ["surface", "ent_type", "n_mentions", "vertex_id", "component"],
+    )
+    triples = spark.createDataFrame(
+        [("u1", 0, "alpha corp", "met", "beta", "ORG", "PERSON")],
+        ["url", "sent_idx", "subj", "pred", "obj", "subj_type", "obj_type"],
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _nodes, edges = build_nodes_edges(triples, linked)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    import re
+
+    # count BroadcastExchange NODES (tree lines), not substring hits —
+    # the ReusedExchange node's description quotes the exchange it reuses
+    n_broadcast = len(re.findall(r"- BroadcastExchange", plan))
+    assert "ReusedExchange" in plan, plan
+    assert n_broadcast == 1, f"mapping broadcast built {n_broadcast}×:\n{plan}"

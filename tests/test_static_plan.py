@@ -141,6 +141,41 @@ def test_mapping_only_no_edges(spark):
     assert remap.columns == ["vertex_id", "component"]
 
 
+def test_build_graph_identical_with_gate_forced_noop(spark, monkeypatch):
+    """The untested half of the static-plan gate (round-4 VERDICT #3):
+    above the size threshold the scope must no-op — AQE stays ON — and
+    the graph phase must produce IDENTICAL nodes/edges either way.
+    Forcing the gate low on a real corpus exercises exactly the plan the
+    5M+-page deployment would run."""
+    import ontonotes_5_parsing_spark.pipeline.run as run
+    from ontonotes_5_parsing_spark.corpus import web_pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+
+    def graph_outputs():
+        pages = web_pages_from_documents(spark, sf)
+        out = run.build_extraction(pages)
+        g = run.build_graph(out["mentions"], out["triples"])
+        nodes = {tuple(r) for r in g["nodes"].collect()}
+        edges = {tuple(r) for r in g["edges"].collect()}
+        return nodes, edges
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    with_scope = graph_outputs()
+    monkeypatch.setattr(run, "_plan_size_bytes", lambda _df: 1 << 62)
+    # also defeat the link stage's driver-side hint, which probes the
+    # same gate (is_small_plan calls plansize.plan_size_bytes) — the
+    # no-op regime must hold end to end
+    import ontonotes_5_parsing_spark.pipeline.plansize as plansize
+
+    monkeypatch.setattr(plansize, "plan_size_bytes", lambda _df: 1 << 62)
+    spark.catalog.clearCache()
+    without_scope = graph_outputs()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert with_scope == without_scope
+    assert len(without_scope[0]) > 0 and len(without_scope[1]) > 0
+
+
 def test_assume_driver_side_hint_same_result_and_mis_hint_falls_back(spark):
     """The small-regime hint folds count+collect into one job; a wrong
     hint (edges actually above the driver cap) must fall back to the

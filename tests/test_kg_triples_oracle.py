@@ -85,6 +85,86 @@ def test_sql_assembly_matches_fused_stage(spark, sf_dir):
     assert spark_rows == duck_rows
 
 
+ADVERSARIAL_DOCS = [
+    # chained M-P-M-P-M: two triples sharing the middle mention
+    "Einstein visited Paris and Curie joined Globex .\n\n"
+    "Turing met Lovelace and praised Initech .",
+    # leading pronoun (sent_idx 0, no antecedent → dropped), then a
+    # resolvable one; 'They' priority: ORG over PERSON over NORP
+    "He founded Globex .\n\nAcme Corp met Obama .\n\n"
+    "They acquired Initech .\n\nShe visited Berlin .",
+    # pronoun whose antecedent is the LATEST prior mention of the type
+    # (Curie observed after Lovelace within one earlier sentence)
+    "Lovelace met Curie .\n\nShe joined United Nations .",
+    # predicate with no flanking mentions; unresolved 'It' (no prior
+    # ORG/GPE/PRODUCT/FAC/LOC); CARDINAL/DATE single-token rules
+    "Nobody founded anything here .\n\nIt owns 42 things since 1999 .",
+    # duplicate triples WITHIN one sentence (same url+sent_idx+values),
+    # then a same-type antecedent across sentences
+    "Obama visited Tokyo and Obama visited Tokyo .\n\n"
+    "He criticized Germany .",
+]
+
+
+def test_sql_assembly_matches_on_adversarial_docs(spark, tmp_path):
+    """Synthetic edge cases through BOTH engines: overlapping M-P-M
+    runs, leading/unresolved pronouns, type-priority resolution,
+    latest-antecedent-wins, duplicate triples. The pipeline is fed
+    pages whose extracted text is exactly these documents."""
+    import duckdb
+
+    from ontonotes_5_parsing_spark.kgref.extract import extract_text
+    from ontonotes_5_parsing_spark.operators.kg import (
+        _pron_types_df,
+        _triple_items_df,
+    )
+    from ontonotes_5_parsing_spark.pipeline.run import build_extraction
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://t{i}.example/x", None,
+             f"<html><body><p>{doc.replace(chr(10)+chr(10), '</p><p>')}"
+             f"</p></body></html>".encode(), "en")
+            for i, doc in enumerate(ADVERSARIAL_DOCS)
+        ],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    # sanity: the html roundtrip preserves the intended sentences
+    # (paragraphs join with a single newline, a sentence boundary)
+    assert extract_text(
+        "<html><body><p>A .</p><p>B .</p></body></html>".encode()
+    ) == "A .\nB ."
+    out = build_extraction(pages)
+    spark_rows = sorted(
+        tuple(r)
+        for r in out["triples"]
+        .select("url", "sent_idx", "subj", "pred", "obj",
+                "subj_type", "obj_type")
+        .collect()
+    )
+    base = str(tmp_path)
+    _triple_items_df(out["sentences"]).write.parquet(f"{base}/items.parquet")
+    _pron_types_df(spark).write.parquet(f"{base}/pron_types.parquet")
+    from ontonotes_5_parsing_spark.operators.kg import ORACLE_ROOT
+
+    sql = SQL_KG_TRIPLES.replace(f"{ORACLE_ROOT}/{_ORACLE_SF}", base)
+    duck_rows = sorted(duckdb.connect().execute(sql).fetchall())
+    assert spark_rows == duck_rows
+    # the cases actually fired: chained run ≥2 triples in one sentence,
+    # a resolved They→ORG triple, and duplicate triples preserved
+    by_key = {}
+    for r in spark_rows:
+        by_key[r] = by_key.get(r, 0) + 1
+    assert max(by_key.values()) >= 2, "duplicate-triple case did not fire"
+    assert any(r[2] == "Acme Corp" and r[3] == "acquired" for r in spark_rows), (
+        "They→ORG priority resolution did not fire"
+    )
+    assert any(r[2] == "Curie" and r[3] == "joined" for r in spark_rows), (
+        "latest-antecedent resolution did not fire"
+    )
+    assert not any(r[2] == "He" or r[2] == "It" for r in spark_rows)
+
+
 def test_coref_triples_present_and_resolved(spark):
     """The oracle must exercise the coref path: at least one triple's
     subject is an antecedent surface while the literal sentence text at

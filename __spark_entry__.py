@@ -7,11 +7,13 @@ entry(spark)   — flagship: full KG-construction DAG (extract → parse →
 queries()      — one entry per implemented operator (SURVEY.md §2 plus
                  the training-data-pipeline families: dedup, similarity,
                  text analysis, events).
-oracle_sql()   — DuckDB-equivalent SQL for every query except
-                 kg_triples (the Arrow-UDF parse itself — genuinely
-                 non-SQL; every other non-SQL op is oracle-checked via
-                 parquet materialization, SQL blob decoding, or a
-                 recursive-CTE closure — see operators/*.py).
+oracle_sql()   — DuckDB-equivalent SQL for EVERY query (round 5: even
+                 kg_triples, the Arrow-UDF parse, is hash-checked — the
+                 oracle re-derives the triples relationally from a
+                 materialized per-sentence item table; other non-SQL ops
+                 are oracle-checked via parquet materialization, SQL
+                 blob decoding, or a recursive-CTE closure — see
+                 operators/*.py).
 """
 
 from __future__ import annotations

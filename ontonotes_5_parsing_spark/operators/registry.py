@@ -64,8 +64,9 @@ for module in (
 
 
 GRADED_ORDER = [
-    # -- flagship KG pipeline (parquet-materialized oracles; kg_triples
-    #    is the one deliberate rows-only entry) --
+    # -- flagship KG pipeline (parquet-materialized oracles; since
+    #    round 5 kg_triples is hash-checked too — relational DuckDB
+    #    re-derivation of the fused Arrow-UDF triple assembly) --
     "kg_triples",
     "kg_mention_type_counts",
     "kg_nodes",
